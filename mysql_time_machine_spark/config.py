@@ -1,0 +1,50 @@
+"""Engine configuration.
+
+Mirrors the reference replicator's yml configuration surface
+(/root/reference/CHANGES.txt:86,88 — "Support for initial yml configuration
+file format") as a plain dataclass: table filter regex (CHANGES.txt:41-42),
+delta/changelog allowlist (CHANGES.txt:111,101), end-binlog-file bound
+(CHANGES.txt:129), dry-run (CHANGES.txt:43), and our Spark-side knobs
+(salt buckets, shuffle partitions, fault-injection epochs for the seeded
+chaos-monkey tests, CHANGES.txt:126).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class EngineConfig:
+    # --- what to replicate -------------------------------------------------
+    #: only keys whose ``repo`` matches are replicated (CHANGES.txt:41-42)
+    table_regex: str = ".*"
+    #: repos that also get changelog (daily-changes) rows; None = all
+    #: (CHANGES.txt:111,101 — delta-tables allowlist)
+    delta_repos: list[str] | None = None
+    #: stop consuming after this binlog file (CHANGES.txt:129 end-binlog-file)
+    end_log_file: str | None = None
+
+    # --- physical layout ---------------------------------------------------
+    #: number of hash buckets the target table's data files are split into;
+    #: an epoch's MERGE rewrites only the buckets its keys touch
+    #: (copy-on-write at bucket granularity — Iceberg's model in miniature)
+    target_buckets: int = 16
+    #: shuffle partitions for the reassembly groupBy
+    shuffle_partitions: int = 32
+    #: sub-salt split factor for hot keys inside one micro-batch: a single
+    #: (repo, path) group larger than this row count is pre-collapsed per
+    #: sub-salt before the final per-key collapse (two-stage aggregate)
+    hot_key_split: int = 8
+
+    # --- sink behaviour ----------------------------------------------------
+    #: dry-run: run the full pipeline, skip all writes (CHANGES.txt:43)
+    dry_run: bool = False
+    #: write changelog (daily-changes analogue, CHANGES.txt:123,111,55)
+    write_changelog: bool = True
+    #: deterministic fault hook: epochs in this set raise just before the
+    #: sink commit — the seeded chaos monkey (CHANGES.txt:126)
+    fail_epochs: frozenset[int] = field(default_factory=frozenset)
+
+    # --- streaming ---------------------------------------------------------
+    max_files_per_trigger: int = 4

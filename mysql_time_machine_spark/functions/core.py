@@ -1,0 +1,134 @@
+"""Scalar pipeline functions (SURVEY.md §2.2 P1-P11, §2.3 F1-F3).
+
+Every function here is a *Column expression builder*: pure Catalyst
+expressions that stay inside whole-stage codegen. No Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# P10 — row-key salting.
+# Reference spec: salt = first 4 hex chars of md5(pk), joined with ';'
+# (/root/reference/CHANGES.txt:102-104). We reproduce the byte-exact salted
+# key for fidelity, but use it as a *shuffle/bucket* key, never a stored key:
+# in Spark, salting is physical (partitioning), not logical.
+# ---------------------------------------------------------------------------
+
+
+def pk_concat(repo: Column | str = "repo", path: Column | str = "path") -> Column:
+    repo = F.col(repo) if isinstance(repo, str) else repo
+    path = F.col(path) if isinstance(path, str) else path
+    return F.concat_ws(";", repo, path)
+
+
+def salt_key(repo: Column | str = "repo", path: Column | str = "path") -> Column:
+    """``first-4-hex(md5(pk)) ; pk`` — byte-identical to CHANGES.txt:102-104."""
+    pk = pk_concat(repo, path)
+    return F.concat(F.substring(F.md5(pk), 1, 4), F.lit(";"), pk)
+
+
+def salted_shuffle_key(n_buckets: int, repo: Column | str = "repo", path: Column | str = "path") -> Column:
+    """Bucket id in [0, n_buckets) derived from the md5 salt prefix.
+
+    Deterministic function of the key only — the same key always lands in the
+    same bucket, which is what lets the sink rewrite only touched buckets.
+    """
+    return F.pmod(F.conv(F.substring(F.md5(pk_concat(repo, path)), 1, 4), 16, 10).cast("long"), F.lit(n_buckets)).cast("int")
+
+
+# ---------------------------------------------------------------------------
+# P1 — event-type dispatch. The reference classifies QUERY events into
+# BEGIN/COMMIT/DDL by string inspection and had a bug where DDL statements
+# were misread as commit/begin (CHANGES.txt:117). We classify with anchored,
+# word-bounded regexes so 'CREATE TABLE begin_balances' stays DDL.
+# ---------------------------------------------------------------------------
+
+_DDL_RE = r"(?i)^\s*(ALTER|CREATE|DROP|RENAME|TRUNCATE)\b"
+_BEGIN_RE = r"(?i)^\s*BEGIN\s*$"
+_COMMIT_RE = r"(?i)^\s*COMMIT\s*$"
+
+
+def classify_event(op: Column | str = "op", ddl: Column | str = "ddl") -> Column:
+    """Normalized event class: ROW / BEGIN / COMMIT / DDL / ROTATE / OTHER."""
+    op = F.col(op) if isinstance(op, str) else op
+    ddl = F.col(ddl) if isinstance(ddl, str) else ddl
+    return (
+        F.when(op.isin("I", "U", "D"), F.lit("ROW"))
+        .when(op == "ROTATE", F.lit("ROTATE"))
+        # a QUERY-ish event: classify the statement text (the :117 trap —
+        # DDL first, and BEGIN/COMMIT must match the *whole* statement)
+        .when(ddl.isNotNull() & F.regexp_like(ddl, F.lit(_DDL_RE)), F.lit("DDL"))
+        .when(ddl.isNotNull() & F.regexp_like(ddl, F.lit(_BEGIN_RE)), F.lit("BEGIN"))
+        .when(ddl.isNotNull() & F.regexp_like(ddl, F.lit(_COMMIT_RE)), F.lit("COMMIT"))
+        .when(op.isin("BEGIN", "COMMIT", "DDL"), op)
+        .otherwise(F.lit("OTHER"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# P7 — changed-cells projection: for UPDATE events store only cells where
+# before != after (CHANGES.txt:173). Pure map_filter, no Python.
+# ---------------------------------------------------------------------------
+
+
+def changed_cells(before: Column | str = "before", after: Column | str = "after") -> Column:
+    before = F.col(before) if isinstance(before, str) else before
+    after = F.col(after) if isinstance(after, str) else after
+    return F.map_filter(after, lambda k, v: ~v.eqNullSafe(F.element_at(before, k)))
+
+
+# ---------------------------------------------------------------------------
+# P8 — delete projection: deletes are key-only; all columns ignored
+# (CHANGES.txt:184).
+# ---------------------------------------------------------------------------
+
+
+def delete_projection(op: Column | str = "op", after: Column | str = "after") -> Column:
+    op = F.col(op) if isinstance(op, str) else op
+    after = F.col(after) if isinstance(after, str) else after
+    empty = F.map_from_arrays(F.array().cast("array<string>"), F.array().cast("array<string>"))
+    return F.when(op == "D", empty).otherwise(after)
+
+
+# ---------------------------------------------------------------------------
+# P2-P6, P11 — type canonicalization & hashing
+# ---------------------------------------------------------------------------
+
+
+def blob_hex(col: Column | str) -> Column:
+    """P3: BLOB -> hex string (CHANGES.txt:161). Spark's built-in, uppercase."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.hex(col)
+
+
+def ts_to_epoch(col: Column | str) -> Column:
+    """P4: TIMESTAMP -> epoch long, timezone-independent (CHANGES.txt:162-163).
+
+    Session timezone must be pinned UTC (engine session does this).
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    return F.unix_timestamp(col)
+
+
+def enum_decode(idx: Column | str, labels: Column) -> Column:
+    """P5: ENUM index -> label via the registry's parsed label array
+    (CHANGES.txt:182). 1-based, as in MySQL ENUM."""
+    idx = F.col(idx) if isinstance(idx, str) else idx
+    return F.element_at(labels, idx.cast("int"))
+
+
+def content_sha256(col: Column | str = "content") -> Column:
+    """P11: per-row content hash — the correctness invariant of the build
+    (BASELINE.json input_hint: content sha256 equality)."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.sha2(col, 256)
+
+
+def daily_bucket_utc(ts: Column | str = "ts") -> Column:
+    """A6: UTC day bucket for the changelog (daily-changes tables were
+    computed in UTC after the :55 bugfix — CHANGES.txt:55,111,123)."""
+    ts = F.col(ts) if isinstance(ts, str) else ts
+    return F.date_format(ts, "yyyyMMdd")

@@ -1,0 +1,56 @@
+"""Batch replay plan — the flagship query (SURVEY.md §7.1 M1).
+
+Reads an entire binlog event log as one DataFrame and produces the final
+table state: the reference's end-to-end correctness check ("replay a known
+binlog, compare final store state") as a single Spark job. The same
+collapse kernel powers the streaming apply job; batch replay is also the
+initial-snapshot path (CHANGES.txt:139) since snapshot INSERTs are just
+events at gtid 0.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mysql_time_machine_spark.config import EngineConfig
+from mysql_time_machine_spark.operators.reassemble import (
+    collapse_events_pandas,
+    collapse_events_sql,
+    materialize,
+)
+
+
+def filter_events(events: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """F1 table-regex gate (CHANGES.txt:41-42) + S4 end-binlog-file bound
+    (CHANGES.txt:129). Catalyst pushes both into the scan."""
+    out = events
+    if cfg.end_log_file:
+        out = out.where(F.col("log_file") <= cfg.end_log_file)
+    if cfg.table_regex and cfg.table_regex != ".*":
+        out = out.where(
+            F.col("repo").isNull() | F.col("repo").rlike(cfg.table_regex)
+        )
+    return out
+
+
+def replay_batch(
+    events: DataFrame,
+    business_columns: list[tuple[str, str]],
+    cfg: EngineConfig | None = None,
+    impl: str = "pandas",
+    keep_tombstones: bool = False,
+) -> DataFrame:
+    """events -> final table state (one row per surviving key)."""
+    cfg = cfg or EngineConfig()
+    ev = filter_events(events, cfg)
+    if impl == "pandas":
+        collapsed = collapse_events_pandas(ev, n_buckets=cfg.shuffle_partitions * 2)
+    elif impl == "sql":
+        collapsed = collapse_events_sql(ev)
+    else:  # pragma: no cover
+        raise ValueError(f"unknown impl {impl!r}")
+    out = materialize(collapsed, business_columns)
+    if not keep_tombstones:
+        out = out.where(F.col("row_status") != "D")
+    return out

@@ -1,0 +1,35 @@
+"""SparkSession factory with the engine's pinned configs.
+
+UTC session timezone is a correctness requirement, not a preference: the
+reference spent three releases on timezone bugs (daily-changes day
+boundaries computed in local time, CHANGES.txt:55; DDL DATE defaults
+corrupted by the active-schema timezone, CHANGES.txt:107-108; timestamps
+stored as tz-independent epoch longs, CHANGES.txt:162-163).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "mysql-time-machine-spark",
+    master: str | None = None,
+    shuffle_partitions: int = 32,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return b.getOrCreate()

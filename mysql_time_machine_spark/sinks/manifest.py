@@ -1,0 +1,271 @@
+"""ManifestParquetSink — Iceberg's commit model in miniature, jar-free.
+
+The reference preserves every row version in HBase and exports
+point-in-time snapshots with a separate Spark job
+(/root/reference/README.md:18-23). In a lakehouse both collapse into
+*table snapshots*: each commit writes immutable Parquet data files plus a
+JSON manifest listing the table's files, then atomically swaps a
+``_current`` pointer (os.replace). That gives, without any catalog jar:
+
+* snapshot isolation + time travel (``snapshot_as_of``) — replaces the
+  entire hbase-snapshotter component (README.md:22-23, CHANGES.txt:76);
+* idempotent epoch fencing — the manifest records the last committed epoch
+  and max applied gtid_seq; replayed epochs no-op, mirroring the safe
+  checkpoint persisted only on pGTID advance (CHANGES.txt:3-7,37);
+* atomic MERGE + lineage + schema evolution: all three land in ONE manifest
+  write, mirroring the reference's rule that a checkpoint must not pass
+  without its metrics (CHANGES.txt:113-116).
+
+Physical layout: data files are hash-bucketed by the md5-salted key
+(CHANGES.txt:102-104). A MERGE rewrites only the buckets its keys touch
+(copy-on-write at bucket granularity); untouched buckets are carried over
+by reference. At 100 TB the bucket count scales up and each epoch's MERGE
+cost is proportional to the touched key-space, not the table size.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mysql_time_machine_spark.functions.core import salted_shuffle_key
+from mysql_time_machine_spark.schema import LINEAGE_COLUMNS, target_struct
+from mysql_time_machine_spark.sinks.base import Sink
+
+_CURRENT = "_current"
+
+
+class FencedEpochSkipped(Exception):
+    """Raised internally / observable in tests when an epoch is replayed."""
+
+
+class ManifestParquetSink(Sink):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        business_columns: list[tuple[str, str]] | None = None,
+        n_buckets: int = 16,
+        fail_epochs: frozenset[int] = frozenset(),
+    ):
+        from mysql_time_machine_spark.schema import BASE_COLUMNS
+
+        self.spark = spark
+        self.root = root
+        self.n_buckets = n_buckets
+        self.fail_epochs = fail_epochs
+        os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        if not os.path.exists(os.path.join(root, _CURRENT)):
+            self._commit_manifest(
+                {
+                    "snapshot_id": 0,
+                    "parent": None,
+                    "epoch_id": -1,
+                    "max_gtid_seq": -1,
+                    "business_columns": business_columns or list(BASE_COLUMNS),
+                    "buckets": {},
+                    "lineage": {},
+                    "registry": [],
+                }
+            )
+
+    # -- manifest plumbing --------------------------------------------------
+    def _manifest_path(self, snapshot_id: int) -> str:
+        return os.path.join(self.root, "manifests", f"m{snapshot_id:06d}.json")
+
+    def current_manifest(self) -> dict[str, Any]:
+        with open(os.path.join(self.root, _CURRENT)) as f:
+            name = f.read().strip()
+        with open(os.path.join(self.root, "manifests", name)) as f:
+            return json.load(f)
+
+    def manifest_at(self, snapshot_id: int) -> dict[str, Any]:
+        with open(self._manifest_path(snapshot_id)) as f:
+            return json.load(f)
+
+    def _commit_manifest(self, manifest: dict[str, Any]) -> None:
+        """The atomic commit: write manifest file, then os.replace the
+        pointer — a reader sees either the old or the new snapshot, never a
+        mix. This single rename is what makes MERGE+lineage+fence atomic."""
+        path = self._manifest_path(manifest["snapshot_id"])
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, path)
+        ptr_tmp = os.path.join(self.root, _CURRENT + f".tmp.{uuid.uuid4().hex[:8]}")
+        with open(ptr_tmp, "w") as f:
+            f.write(os.path.basename(path))
+        os.replace(ptr_tmp, os.path.join(self.root, _CURRENT))
+
+    # -- reads ---------------------------------------------------------------
+    def _schema(self, manifest: dict[str, Any]) -> T.StructType:
+        base = target_struct([tuple(c) for c in manifest["business_columns"]])
+        return T.StructType(list(base.fields) + [T.StructField("_bucket", T.IntegerType(), True)])
+
+    def read(self, snapshot_id: int | None = None) -> DataFrame:
+        m = self.current_manifest() if snapshot_id is None else self.manifest_at(snapshot_id)
+        files = [f for fl in m["buckets"].values() for f in fl]
+        schema = self._schema(m)
+        if not files:
+            return self.spark.createDataFrame([], schema).drop("_bucket")
+        # explicit schema: files written before a DDL lack the new column and
+        # read as NULL — Iceberg-style schema evolution on read
+        return self.spark.read.schema(schema).parquet(*files).drop("_bucket")
+
+    def snapshot_as_of(self, snapshot_id: int) -> DataFrame:
+        """Point-in-time read — the hbase-snapshotter (README.md:22-23),
+        reduced to a manifest lookup + Parquet scan."""
+        return self.read(snapshot_id=snapshot_id)
+
+    def snapshots(self) -> list[dict[str, Any]]:
+        out = []
+        cur: dict | None = self.current_manifest()
+        while cur is not None:
+            out.append(cur)
+            cur = self.manifest_at(cur["parent"]) if cur["parent"] is not None else None
+        return list(reversed(out))
+
+    def read_lineage(self) -> DataFrame:
+        """Per-epoch, per-partition lineage counters (CHANGES.txt:113-116,
+        124,138) as a queryable DataFrame."""
+        rows = []
+        for m in self.snapshots():
+            if m["lineage"]:
+                rows.append(
+                    {
+                        "snapshot_id": m["snapshot_id"],
+                        "epoch_id": m["epoch_id"],
+                        "max_gtid_seq": m["max_gtid_seq"],
+                        **{k: v for k, v in m["lineage"].items() if not isinstance(v, (dict, list))},
+                        "per_bucket": json.dumps(m["lineage"].get("per_bucket", {})),
+                    }
+                )
+        if not rows:
+            return self.spark.createDataFrame([], "snapshot_id long, epoch_id long, max_gtid_seq long")
+        return self.spark.createDataFrame(rows)
+
+    # -- schema evolution ----------------------------------------------------
+    def evolve_schema(self, business_columns: list[tuple[str, str]], registry: list[dict] | None = None) -> None:
+        """ALTER TABLE analogue: next commit's manifest carries the evolved
+        column set; existing files are untouched (read as NULL)."""
+        self._pending_columns = [tuple(c) for c in business_columns]
+        if registry is not None:
+            self._pending_registry = registry
+
+    # -- the MERGE -----------------------------------------------------------
+    def merge(self, batch: DataFrame, epoch_id: int, lineage: dict[str, Any] | None = None) -> bool:
+        """MERGE INTO target USING batch ON key:
+        matched & op='D' -> DELETE; matched -> UPDATE; not matched & op!='D'
+        -> INSERT (SURVEY.md §2.4 J1), implemented as bucket-granular
+        copy-on-write. Idempotent per epoch (fence)."""
+        m = self.current_manifest()
+        if epoch_id <= m["epoch_id"]:
+            return False  # fenced: already committed (duplicate delivery)
+
+        business_columns = getattr(self, "_pending_columns", None) or [tuple(c) for c in m["business_columns"]]
+        registry = getattr(self, "_pending_registry", None) or m.get("registry", [])
+
+        snap = m["snapshot_id"] + 1
+        batch = batch.withColumn("_bucket", salted_shuffle_key(self.n_buckets))
+        batch.persist()
+        try:
+            touched = sorted(r["_bucket"] for r in batch.select("_bucket").distinct().collect())
+            stats_rows = (
+                batch.groupBy("_bucket")
+                .agg(
+                    F.count_if(F.col("row_status") == "I").alias("n_I"),
+                    F.count_if(F.col("row_status") == "U").alias("n_U"),
+                    F.count_if(F.col("row_status") == "D").alias("n_D"),
+                    F.max("gtid_seq").alias("max_gtid"),
+                )
+                .collect()
+            )
+
+            out_dir = os.path.join(self.root, "data", f"s{snap:06d}")
+            new_schema = self._schema({"business_columns": business_columns})
+            upserts = batch.where(F.col("row_status") != "D")
+            # pad upserts to the (possibly evolved) target schema
+            for f_ in new_schema.fields:
+                if f_.name not in upserts.columns:
+                    upserts = upserts.withColumn(f_.name, F.lit(None).cast(f_.dataType))
+            upserts = upserts.select([f_.name for f_ in new_schema.fields])
+
+            old_files = [f for b in touched for f in m["buckets"].get(str(b), [])]
+            if old_files:
+                old_schema = self._schema(m)
+                old = self.spark.read.schema(old_schema).parquet(*old_files)
+                # anti-join out every key present in the batch (update or
+                # delete), then union the upserts — classic CoW MERGE
+                keys = batch.select("repo", "path")
+                retained = old.join(F.broadcast(keys), ["repo", "path"], "left_anti")
+                for f_ in new_schema.fields:
+                    if f_.name not in retained.columns:
+                        retained = retained.withColumn(f_.name, F.lit(None).cast(f_.dataType))
+                merged = retained.select([f_.name for f_ in new_schema.fields]).unionByName(upserts)
+            else:
+                merged = upserts
+
+            if epoch_id in self.fail_epochs:
+                # deterministic chaos monkey (CHANGES.txt:126): crash AFTER
+                # data-file writes would be harmless; we crash before commit
+                raise RuntimeError(f"chaos-monkey: injected failure at epoch {epoch_id}")
+
+            # _bucket is a hive partition column in the written layout, so it
+            # is NOT stored in the files; recompute it (deterministic of key)
+            merged = merged.drop("_bucket").withColumn("_bucket", salted_shuffle_key(self.n_buckets))
+            merged.write.mode("overwrite").partitionBy("_bucket").parquet(out_dir)
+
+            # collect the files actually written, keyed by bucket
+            new_buckets: dict[str, list[str]] = {}
+            for b in touched:
+                bdir = os.path.join(out_dir, f"_bucket={b}")
+                if os.path.isdir(bdir):
+                    files = [
+                        os.path.join(bdir, fn)
+                        for fn in sorted(os.listdir(bdir))
+                        if fn.endswith(".parquet")
+                    ]
+                    if files:
+                        new_buckets[str(b)] = files
+
+            buckets = {k: v for k, v in m["buckets"].items() if int(k) not in touched}
+            buckets.update(new_buckets)
+
+            max_gtid = max([r["max_gtid"] for r in stats_rows if r["max_gtid"] is not None], default=m["max_gtid_seq"])
+            lin = dict(lineage or {})
+            lin.update(
+                {
+                    "n_I": sum(r["n_I"] for r in stats_rows),
+                    "n_U": sum(r["n_U"] for r in stats_rows),
+                    "n_D": sum(r["n_D"] for r in stats_rows),
+                    "per_bucket": {
+                        str(r["_bucket"]): {"n_I": r["n_I"], "n_U": r["n_U"], "n_D": r["n_D"]}
+                        for r in stats_rows
+                    },
+                }
+            )
+
+            self._commit_manifest(
+                {
+                    "snapshot_id": snap,
+                    "parent": m["snapshot_id"],
+                    "epoch_id": epoch_id,
+                    "max_gtid_seq": int(max(max_gtid, m["max_gtid_seq"])),
+                    "business_columns": [list(c) for c in business_columns],
+                    "buckets": buckets,
+                    "lineage": lin,
+                    "registry": registry,
+                }
+            )
+            self._pending_columns = None
+            self._pending_registry = None
+            return True
+        finally:
+            batch.unpersist()
