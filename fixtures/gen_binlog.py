@@ -332,15 +332,24 @@ def generate_rich(
 
 
 def write_epoch_files(log: RichLog, out_dir: str, spark: SparkSession) -> list[str]:
-    """One parquet file per epoch, named in replay order — the simulated
-    binlog directory a file-source stream tails."""
+    """One plain parquet FILE per epoch, named in replay order — the
+    simulated binlog directory a file-source stream tails. Files are written
+    sequentially so modification-time order == epoch order (how the file
+    source sequences its micro-batches)."""
+    import glob
+    import shutil
+    import tempfile
+
     os.makedirs(out_dir, exist_ok=True)
     paths = []
     for e in range(log.n_epochs):
         sub = log.events[log.events["epoch"] == e].drop(columns=["epoch"])
         sdf = spark.createDataFrame(sub, schema=EVENT_SCHEMA)
-        p = os.path.join(out_dir, f"epoch-{e:05d}")
-        sdf.coalesce(1).write.mode("overwrite").parquet(p)
+        with tempfile.TemporaryDirectory() as td:
+            sdf.coalesce(1).write.mode("overwrite").parquet(os.path.join(td, "out"))
+            part = glob.glob(os.path.join(td, "out", "part-*.parquet"))[0]
+            p = os.path.join(out_dir, f"epoch-{e:05d}.parquet")
+            shutil.copyfile(part, p)
         paths.append(p)
     return paths
 

@@ -1,0 +1,80 @@
+"""spark-submit entrypoint for the streaming CDC apply job.
+
+Usage (north rule: runs via spark-submit --py-files at N and 4N executors):
+
+    spark-submit --py-files engine.zip jobs/apply.py \
+        --binlog-dir /data/binlog --sink-root /lake/repos \
+        [--master local[8]] [--table-regex '.*'] [--end-log-file binlog.000007]
+        [--dry-run] [--buckets 16] [--shuffle-partitions 32]
+        [--fail-epochs 2,5]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--binlog-dir", required=True)
+    p.add_argument("--sink-root", required=True)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--master", default=None)
+    p.add_argument("--table-regex", default=".*")
+    p.add_argument("--end-log-file", default=None)
+    p.add_argument("--dry-run", action="store_true")
+    p.add_argument("--no-changelog", action="store_true")
+    p.add_argument("--buckets", type=int, default=16)
+    p.add_argument("--shuffle-partitions", type=int, default=32)
+    p.add_argument("--max-files-per-trigger", type=int, default=4)
+    p.add_argument("--fail-epochs", default="", help="comma-sep epoch ids for chaos injection")
+    args = p.parse_args(argv)
+
+    from mysql_time_machine_spark.config import EngineConfig
+    from mysql_time_machine_spark.session import get_spark
+    from mysql_time_machine_spark.sinks.manifest import ManifestParquetSink
+    from mysql_time_machine_spark.streaming.job import ApplyJob
+
+    spark = get_spark("mtm-apply", master=args.master, shuffle_partitions=args.shuffle_partitions)
+    cfg = EngineConfig(
+        table_regex=args.table_regex,
+        end_log_file=args.end_log_file,
+        dry_run=args.dry_run,
+        write_changelog=not args.no_changelog,
+        target_buckets=args.buckets,
+        shuffle_partitions=args.shuffle_partitions,
+        max_files_per_trigger=args.max_files_per_trigger,
+        fail_epochs=frozenset(int(x) for x in args.fail_epochs.split(",") if x),
+    )
+    sink = ManifestParquetSink(spark, args.sink_root, n_buckets=args.buckets)
+    job = ApplyJob(spark, args.binlog_dir, sink, cfg, checkpoint_dir=args.checkpoint)
+
+    t0 = time.time()
+    job.run_available()
+    wall = time.time() - t0
+
+    m = sink.current_manifest()
+    consumed = sum(
+        s["lineage"].get("events_consumed", {}).get("ROW", 0) for s in sink.snapshots()[1:]
+    )
+    print(
+        json.dumps(
+            {
+                "wall_sec": round(wall, 2),
+                "epochs": m["epoch_id"] + 1,
+                "snapshot_id": m["snapshot_id"],
+                "max_gtid_seq": m["max_gtid_seq"],
+                "row_events_applied": consumed,
+                "events_per_sec": round(consumed / wall, 1) if wall > 0 else None,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

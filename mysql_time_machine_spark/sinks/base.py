@@ -25,7 +25,7 @@ class Sink(abc.ABC):
     (exactly-once via fencing, CHANGES.txt:3-7,37)."""
 
     @abc.abstractmethod
-    def merge(self, batch: DataFrame, epoch_id: int, lineage: dict[str, Any] | None = None) -> bool:
+    def merge(self, batch: DataFrame, epoch_id: int, lineage: dict[str, Any] | None = None, changelog: DataFrame | None = None) -> bool:
         """Apply a collapsed, materialized batch. Returns False if the epoch
         was fenced off (already committed)."""
 
@@ -38,7 +38,7 @@ class ConsoleSink(Sink):
         self.n = n
         self.epochs: list[int] = []
 
-    def merge(self, batch: DataFrame, epoch_id: int, lineage=None) -> bool:
+    def merge(self, batch: DataFrame, epoch_id: int, lineage=None, changelog=None) -> bool:
         self.epochs.append(epoch_id)
         batch.show(self.n, truncate=40)
         return True
@@ -51,7 +51,7 @@ class NoopSink(Sink):
         self.rows_seen = 0
         self.epochs: list[int] = []
 
-    def merge(self, batch: DataFrame, epoch_id: int, lineage=None) -> bool:
+    def merge(self, batch: DataFrame, epoch_id: int, lineage=None, changelog=None) -> bool:
         self.epochs.append(epoch_id)
         self.rows_seen += batch.count()
         return True

@@ -52,14 +52,12 @@ class ManifestParquetSink(Sink):
         root: str,
         business_columns: list[tuple[str, str]] | None = None,
         n_buckets: int = 16,
-        fail_epochs: frozenset[int] = frozenset(),
     ):
         from mysql_time_machine_spark.schema import BASE_COLUMNS
 
         self.spark = spark
         self.root = root
         self.n_buckets = n_buckets
-        self.fail_epochs = fail_epochs
         os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         if not os.path.exists(os.path.join(root, _CURRENT)):
@@ -132,6 +130,16 @@ class ManifestParquetSink(Sink):
             cur = self.manifest_at(cur["parent"]) if cur["parent"] is not None else None
         return list(reversed(out))
 
+    def read_changelog(self) -> DataFrame:
+        """The daily-changes analogue: every change event, partitioned by
+        UTC day (one hidden-partitioned table instead of N yyyymmdd tables,
+        CHANGES.txt:123,111,55)."""
+        m = self.current_manifest()
+        files = m.get("changelog_files", [])
+        if not files:
+            return self.spark.createDataFrame([], "repo string, path string, op string, day_utc string")
+        return self.spark.read.parquet(*files)
+
     def read_lineage(self) -> DataFrame:
         """Per-epoch, per-partition lineage counters (CHANGES.txt:113-116,
         124,138) as a queryable DataFrame."""
@@ -160,11 +168,24 @@ class ManifestParquetSink(Sink):
             self._pending_registry = registry
 
     # -- the MERGE -----------------------------------------------------------
-    def merge(self, batch: DataFrame, epoch_id: int, lineage: dict[str, Any] | None = None) -> bool:
-        """MERGE INTO target USING batch ON key:
-        matched & op='D' -> DELETE; matched -> UPDATE; not matched & op!='D'
-        -> INSERT (SURVEY.md §2.4 J1), implemented as bucket-granular
-        copy-on-write. Idempotent per epoch (fence)."""
+    def merge(
+        self,
+        batch: DataFrame,
+        epoch_id: int,
+        lineage: dict[str, Any] | None = None,
+        changelog: DataFrame | None = None,
+    ) -> bool:
+        """MERGE INTO target USING batch ON (repo, path):
+        matched & 'D' -> DELETE; matched & 'U' -> cell-wise update (the
+        batch image may be a partial changed-cells map, CHANGES.txt:173);
+        matched & 'I' -> replace; not matched & not 'D' -> INSERT.
+        Bucket-granular copy-on-write; idempotent per epoch (fence).
+
+        ``batch`` is COLLAPSED form: (repo, path, row_status, image,
+        gtid_seq, schema_version, updated_ts) — one row per key.
+        ``changelog`` (optional) is appended in the SAME atomic commit —
+        the daily-changes branch (CHANGES.txt:123,111,55).
+        """
         m = self.current_manifest()
         if epoch_id <= m["epoch_id"]:
             return False  # fenced: already committed (duplicate delivery)
@@ -190,37 +211,83 @@ class ManifestParquetSink(Sink):
 
             out_dir = os.path.join(self.root, "data", f"s{snap:06d}")
             new_schema = self._schema({"business_columns": business_columns})
-            upserts = batch.where(F.col("row_status") != "D")
-            # pad upserts to the (possibly evolved) target schema
-            for f_ in new_schema.fields:
-                if f_.name not in upserts.columns:
-                    upserts = upserts.withColumn(f_.name, F.lit(None).cast(f_.dataType))
-            upserts = upserts.select([f_.name for f_ in new_schema.fields])
-
             old_files = [f for b in touched for f in m["buckets"].get(str(b), [])]
+
+            upserts = batch.where(F.col("row_status") != "D")
             if old_files:
                 old_schema = self._schema(m)
                 old = self.spark.read.schema(old_schema).parquet(*old_files)
-                # anti-join out every key present in the batch (update or
-                # delete), then union the upserts — classic CoW MERGE
-                keys = batch.select("repo", "path")
-                retained = old.join(F.broadcast(keys), ["repo", "path"], "left_anti")
+                # per-epoch batch keys are small vs the table — broadcast
+                keys = F.broadcast(
+                    batch.select("repo", "path", F.col("gtid_seq").alias("_new_gtid"))
+                )
+                # per-key gtid monotonicity guard (the pGTID fence at key
+                # granularity, CHANGES.txt:37): a stale change — replayed or
+                # delivered out of order — can never clobber a newer row
+                old_k = old.join(keys, ["repo", "path"], "left")
+                retained = old_k.where(
+                    F.col("_new_gtid").isNull() | (F.col("gtid_seq") > F.col("_new_gtid"))
+                ).drop("_new_gtid")
+                # matched, non-stale keys: reconstruct the stored row's image
+                # map from its non-null business cells, then cell-wise LWW
+                # merge (map_concat is LAST_WIN, session-pinned)
+                old_cols = [tuple(c) for c in m["business_columns"]]
+                kv = []
+                for name, _typ in old_cols:
+                    kv += [F.lit(name), F.col(name).cast("string")]
+                old_img = old_k.where(F.col("_new_gtid").isNotNull()).select(
+                    "repo",
+                    "path",
+                    F.map_filter(F.create_map(*kv), lambda k, v: v.isNotNull()).alias("_old_image"),
+                    F.col("gtid_seq").alias("_old_gtid"),
+                )
+                merged_img = (
+                    upserts.join(old_img, ["repo", "path"], "left")
+                    .where(F.col("_old_gtid").isNull() | (F.col("_old_gtid") <= F.col("gtid_seq")))
+                    .withColumn(
+                        "image",
+                        F.when(F.col("row_status") == "I", F.col("image"))
+                        .when(F.col("_old_image").isNull(), F.col("image"))
+                        .otherwise(F.map_concat(F.col("_old_image"), F.col("image"))),
+                    )
+                    .drop("_old_image", "_old_gtid")
+                )
+            else:
+                retained = None
+                merged_img = upserts
+
+            # materialize the image map onto the (possibly evolved) schema
+            cast_map = {"string": "string", "long": "long", "int": "int", "timestamp": "timestamp", "double": "double"}
+            mat_cols = [F.col("repo"), F.col("path")]
+            for name, typ in business_columns:
+                mat_cols.append(F.element_at(F.col("image"), name).cast(cast_map[typ]).alias(name))
+            mat_cols += [F.col(n) for n, _ in LINEAGE_COLUMNS] + [F.col("_bucket")]
+            new_rows = merged_img.select(*mat_cols)
+
+            if retained is not None:
                 for f_ in new_schema.fields:
                     if f_.name not in retained.columns:
                         retained = retained.withColumn(f_.name, F.lit(None).cast(f_.dataType))
-                merged = retained.select([f_.name for f_ in new_schema.fields]).unionByName(upserts)
+                merged = retained.select([f_.name for f_ in new_schema.fields]).unionByName(
+                    new_rows.select([f_.name for f_ in new_schema.fields])
+                )
             else:
-                merged = upserts
-
-            if epoch_id in self.fail_epochs:
-                # deterministic chaos monkey (CHANGES.txt:126): crash AFTER
-                # data-file writes would be harmless; we crash before commit
-                raise RuntimeError(f"chaos-monkey: injected failure at epoch {epoch_id}")
+                merged = new_rows.select([f_.name for f_ in new_schema.fields])
 
             # _bucket is a hive partition column in the written layout, so it
             # is NOT stored in the files; recompute it (deterministic of key)
             merged = merged.drop("_bucket").withColumn("_bucket", salted_shuffle_key(self.n_buckets))
             merged.write.mode("overwrite").partitionBy("_bucket").parquet(out_dir)
+
+            changelog_files = list(m.get("changelog_files", []))
+            if changelog is not None:
+                # day_utc kept as a data column here; on a real cluster this
+                # is `partitionBy("day_utc")` / Iceberg `days(ts)` hidden
+                # partitioning for partition-pruned daily imports
+                cl_dir = os.path.join(self.root, "changelog", f"s{snap:06d}")
+                changelog.write.mode("overwrite").parquet(cl_dir)
+                for dp, _dn, fns in os.walk(cl_dir):
+                    changelog_files += [os.path.join(dp, fn) for fn in sorted(fns) if fn.endswith(".parquet")]
 
             # collect the files actually written, keyed by bucket
             new_buckets: dict[str, list[str]] = {}
@@ -262,6 +329,7 @@ class ManifestParquetSink(Sink):
                     "buckets": buckets,
                     "lineage": lin,
                     "registry": registry,
+                    "changelog_files": changelog_files,
                 }
             )
             self._pending_columns = None

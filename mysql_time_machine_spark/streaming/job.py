@@ -1,0 +1,154 @@
+"""The streaming apply job — the replicator's core path (SURVEY.md §3.1).
+
+readStream over the simulated binlog directory -> per-micro-batch:
+
+  1. classify + filter (P1/F1/S4)
+  2. DDL events -> active-schema registry (driver-side, tiny) -> target
+     schema evolution (J0 / CHANGES.txt:117,57,44-46)
+  3. salted repartition + applyInPandas reassembly/collapse (A1/A2,
+     uuidBuffer analogue CHANGES.txt:168-170)
+  4. fenced MERGE + changelog + lineage in ONE atomic sink commit
+     (J1/J2/A4/A6; exactly-once per CHANGES.txt:3-7,37,113-116)
+
+Thread/process boundaries vs the reference (SURVEY.md §3.1): the
+producer/orchestrator/applier thread pools all collapse into Spark's
+driver/executor split; the bounded in-memory queue becomes
+maxFilesPerTrigger backpressure; applier task retry/requeue
+(CHANGES.txt:63) is Spark task retry.
+
+Why foreachBatch and not applyInPandasWithState: binlog order is total
+per server — there is no late data (SURVEY §2.8 ST2) — and the generator
+guarantees txn-atomic epoch files (MySQL rotation guarantees the same), so
+cross-batch transaction state is unnecessary; the fence table, not
+operator state, carries exactly-once across restarts. State we DO keep
+(the active schema) is driver-side and manifest-persisted.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mysql_time_machine_spark.config import EngineConfig
+from mysql_time_machine_spark.functions.core import classify_event, daily_bucket_utc
+from mysql_time_machine_spark.operators.reassemble import collapse_events_pandas
+from mysql_time_machine_spark.plans.replay import filter_events
+from mysql_time_machine_spark.registry import SchemaRegistry
+from mysql_time_machine_spark.schema import EVENT_SCHEMA
+from mysql_time_machine_spark.sinks.manifest import ManifestParquetSink
+
+
+class ApplyJob:
+    def __init__(
+        self,
+        spark: SparkSession,
+        binlog_dir: str,
+        sink: ManifestParquetSink,
+        cfg: EngineConfig | None = None,
+        checkpoint_dir: str | None = None,
+    ):
+        self.spark = spark
+        self.binlog_dir = binlog_dir
+        self.sink = sink
+        self.cfg = cfg or EngineConfig()
+        self.checkpoint_dir = checkpoint_dir or os.path.join(sink.root, "_checkpoint")
+        # active schema reloaded from the last committed manifest — schema
+        # history survives crashes with the data it describes
+        self.registry = SchemaRegistry.from_manifest(sink.current_manifest().get("registry", []))
+        self.metrics: list[dict[str, Any]] = []
+
+    # -- per-micro-batch body -------------------------------------------------
+    def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        cfg = self.cfg
+        batch = filter_events(batch, cfg)
+        batch = batch.withColumn("_class", classify_event())
+        batch.persist()
+        try:
+            # (A3/A5) event-level metrics: consumed counts by class + max
+            # replication delay, excluding ROTATE's ts=0 (CHANGES.txt:58-61)
+            stats = batch.groupBy("_class").agg(
+                F.count("*").alias("n"),
+                F.max(F.when(F.col("_class") != "ROTATE", F.col("ts"))).alias("max_ts"),
+                F.max("gtid_seq").alias("max_gtid"),
+            ).collect()
+            events_consumed = {r["_class"]: r["n"] for r in stats}
+
+            # (J0) DDL -> active schema; driver-side control flow, tiny
+            ddls = (
+                batch.where(F.col("_class") == "DDL")
+                .select("gtid_seq", "log_file", "log_pos", "ddl")
+                .sort("gtid_seq", "log_file", "log_pos")
+                .collect()
+            )
+            for r in ddls:
+                self.registry.apply_ddl(r["ddl"], r["gtid_seq"])
+            # always pin the sink's target schema to the active schema —
+            # idempotent, and correct whether this epoch is fresh, replayed,
+            # or resumed mid-stream after a crash
+            self.sink.evolve_schema(
+                self.registry.current_columns, registry=self.registry.versions
+            )
+
+            rows = batch.where(F.col("_class") == "ROW").drop("_class")
+
+            # (A6) changelog branch: every change event, UTC-day bucketed,
+            # gated by the delta-repos allowlist (CHANGES.txt:111,101)
+            changelog = None
+            if cfg.write_changelog and not cfg.dry_run:
+                cl = rows
+                if cfg.delta_repos is not None:
+                    cl = cl.where(F.col("repo").isin(cfg.delta_repos))
+                changelog = cl.select(
+                    "repo", "path", "op", "gtid_seq", "log_file", "log_pos",
+                    "ts", "schema_version",
+                    daily_bucket_utc("ts").alias("day_utc"),
+                )
+
+            # (A1/A2) reassemble + collapse
+            collapsed = collapse_events_pandas(rows, n_buckets=cfg.shuffle_partitions)
+
+            # deterministic chaos monkey (seeded analogue of CHANGES.txt:126):
+            # fail the FIRST attempt of each configured epoch, just before
+            # the sink commit; a marker file makes the retry/resume succeed
+            if epoch_id in cfg.fail_epochs:
+                marker = os.path.join(self.sink.root, "_chaos", f"epoch-{epoch_id}")
+                if not os.path.exists(marker):
+                    os.makedirs(marker, exist_ok=True)
+                    raise RuntimeError(f"chaos-monkey: injected failure at epoch {epoch_id}")
+
+            lineage = {
+                "events_consumed": events_consumed,
+                "delay_basis_ts": str(max((r["max_ts"] for r in stats if r["max_ts"] is not None), default="")),
+            }
+            if cfg.dry_run:
+                collapsed.count()  # force the plan, no writes (S8)
+                self.metrics.append({"epoch_id": epoch_id, **lineage, "dry_run": True})
+                return
+            committed = self.sink.merge(collapsed, epoch_id, lineage=lineage, changelog=changelog)
+            self.metrics.append({"epoch_id": epoch_id, **lineage, "committed": committed})
+        finally:
+            batch.unpersist()
+
+    # -- wiring -----------------------------------------------------------------
+    def stream(self) -> DataFrame:
+        return (
+            self.spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", self.cfg.max_files_per_trigger)
+            .parquet(self.binlog_dir)
+        )
+
+    def run_available(self, timeout_sec: int = 600) -> None:
+        """Consume everything currently in the binlog dir, then stop —
+        the end-binlog-file / snapshot-replay mode (CHANGES.txt:129,139)."""
+        q = (
+            self.stream()
+            .writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_sec)
+        q.stop()

@@ -1,0 +1,189 @@
+"""Streaming apply job: exactly-once, resume, schema evolution, lineage
+(SURVEY.md §5.2.2-5.2.4, 5.2.6)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from fixtures.gen_binlog import generate_rich, write_epoch_files
+from fixtures.oracle import replay_expected
+from mysql_time_machine_spark.config import EngineConfig
+from mysql_time_machine_spark.sinks.manifest import ManifestParquetSink
+from mysql_time_machine_spark.streaming.job import ApplyJob
+
+N_EPOCHS = 5
+
+
+@pytest.fixture(scope="module")
+def small_log():
+    return generate_rich(seed=11, n_keys=40, n_txns=150, n_epochs=N_EPOCHS)
+
+
+@pytest.fixture(scope="module")
+def binlog_dir(small_log, spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("binlog")
+    write_epoch_files(small_log, str(d), spark)
+    return str(d)
+
+
+def _expected(small_log):
+    cols = [c[0] for c in small_log.registry[-1]["columns"]]
+    return replay_expected(small_log.events, cols)
+
+
+def _run_job(spark, binlog_dir, root, cfg=None):
+    sink = ManifestParquetSink(spark, root)
+    job = ApplyJob(spark, binlog_dir, sink, cfg or EngineConfig(max_files_per_trigger=1, shuffle_partitions=8))
+    job.run_available()
+    return job, sink
+
+
+@pytest.fixture(scope="module")
+def completed(spark, binlog_dir, small_log, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("sink"))
+    job, sink = _run_job(spark, binlog_dir, root)
+    return job, sink
+
+
+def _assert_state_matches(sink, small_log):
+    exp = _expected(small_log)
+    got = (
+        sink.read()
+        .withColumn("content_sha256", F.sha2("content", 256))
+        .toPandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    assert got["content_sha256"].tolist() == exp["content_sha256"].tolist()
+    for c in [c[0] for c in small_log.registry[-1]["columns"]]:
+        pd.testing.assert_series_equal(
+            got[c].astype(object).where(got[c].notna(), None),
+            exp[c].astype(object).where(exp[c].notna(), None),
+            check_names=False, check_dtype=False,
+        )
+
+
+def test_streaming_final_state_matches_oracle(completed, small_log):
+    _, sink = completed
+    _assert_state_matches(sink, small_log)
+
+
+def test_epochs_committed_once_each(completed):
+    job, sink = completed
+    snaps = sink.snapshots()[1:]  # skip empty snapshot 0
+    epochs = [m["epoch_id"] for m in snaps]
+    assert epochs == sorted(set(epochs)), "an epoch committed twice"
+    assert len(epochs) == N_EPOCHS
+
+
+def test_duplicate_delivery_fenced(completed, spark, binlog_dir, small_log):
+    """Re-deliver an already-committed epoch: fence must no-op
+    (CHANGES.txt:3-7 semantics)."""
+    job, sink = completed
+    n_before = len(sink.snapshots())
+    first_epoch = spark.read.parquet(binlog_dir + "/epoch-00000.parquet")
+    job.process_batch(first_epoch, 0)  # replay epoch 0
+    assert len(sink.snapshots()) == n_before
+    _assert_state_matches(sink, small_log)
+
+
+def test_resume_from_checkpoint_after_chaos(spark, binlog_dir, small_log, tmp_path_factory):
+    """Seeded chaos monkey kills epoch 2 before its commit; a restarted job
+    resumes from the SS checkpoint and converges to the identical state
+    with no double-apply (CHANGES.txt:126,125)."""
+    root = str(tmp_path_factory.mktemp("sink_chaos"))
+    cfg = EngineConfig(max_files_per_trigger=1, shuffle_partitions=8, fail_epochs=frozenset({2}))
+    sink = ManifestParquetSink(spark, root)
+    job = ApplyJob(spark, binlog_dir, sink, cfg)
+    with pytest.raises(Exception, match="chaos-monkey"):
+        try:
+            job.run_available()
+        except Exception as e:  # unwrap StreamingQueryException
+            raise RuntimeError(str(e)) from e
+    assert ManifestParquetSink(spark, root).current_manifest()["epoch_id"] < 2
+
+    # restart: fresh job object (process restart), same checkpoint + sink
+    sink2 = ManifestParquetSink(spark, root)
+    job2 = ApplyJob(spark, binlog_dir, sink2, cfg)
+    job2.run_available()
+    _assert_state_matches(sink2, small_log)
+    epochs = [m["epoch_id"] for m in sink2.snapshots()[1:]]
+    assert epochs == sorted(set(epochs))
+    assert len(epochs) == N_EPOCHS
+
+
+def test_schema_evolution_streaming(completed, small_log):
+    """DDL ADD COLUMN mid-stream: target schema evolves; pre-DDL snapshots
+    lack the column; pre-DDL rows read NULL afterwards (CHANGES.txt:44-46)."""
+    _, sink = completed
+    final_cols = [c[0] for c in small_log.registry[-1]["columns"]]
+    assert "stars" in final_cols and "license" in final_cols
+    assert [c[0] for c in [tuple(x) for x in sink.current_manifest()["business_columns"]]] == final_cols
+    first = sink.snapshots()[1]
+    assert "stars" not in [c[0] for c in first["business_columns"]]
+    # rows never touched after the DDL read NULL for the added column
+    got = sink.read().toPandas()
+    assert got["stars"].isna().any()
+    assert got["stars"].notna().any()
+
+
+def test_time_travel_snapshot_as_of(completed, spark, binlog_dir, small_log):
+    """Point-in-time read reproduces the state after epoch 0 exactly —
+    the hbase-snapshotter collapsed into one call (README.md:22-23)."""
+    _, sink = completed
+    first_snap = sink.snapshots()[1]
+    got = (
+        sink.snapshot_as_of(first_snap["snapshot_id"])
+        .withColumn("content_sha256", F.sha2("content", 256))
+        .toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    epoch0 = small_log.events[small_log.events["epoch"] == 0]
+    cols_then = [c[0] for c in small_log.registry[0]["columns"]]
+    exp = replay_expected(epoch0, cols_then)
+    assert got["content_sha256"].tolist() == exp["content_sha256"].tolist()
+
+
+def test_lineage_reconciliation(completed, small_log):
+    """Sum of per-epoch consumed-event counters == generator-side emitted
+    totals (mirrors CHANGES.txt:113-116,124: counters must not lose
+    increments, checkpoint gated on metric consistency)."""
+    _, sink = completed
+    consumed_rows = 0
+    consumed = {"DDL": 0, "ROTATE": 0}
+    for m in sink.snapshots()[1:]:
+        ec = m["lineage"]["events_consumed"]
+        consumed_rows += ec.get("ROW", 0)
+        consumed["DDL"] += ec.get("DDL", 0)
+        consumed["ROTATE"] += ec.get("ROTATE", 0)
+    em = small_log.emitted
+    assert consumed_rows == em["I"] + em["U"] + em["D"]
+    assert consumed["DDL"] == em["DDL"]
+    assert consumed["ROTATE"] == em["ROTATE"]
+    # row-level applied counters (two-level taxonomy, CHANGES.txt:171-172):
+    # collapsed rows <= consumed row events, > 0
+    lin = sink.read_lineage().toPandas()
+    applied = (lin["n_I"] + lin["n_U"] + lin["n_D"]).sum()
+    assert 0 < applied <= consumed_rows
+
+
+def test_changelog_daily_buckets(completed, small_log):
+    """A6: every row event appended to the changelog with its UTC day."""
+    _, sink = completed
+    cl = sink.read_changelog().toPandas()
+    em = small_log.emitted
+    assert len(cl) == em["I"] + em["U"] + em["D"]
+    assert (cl["day_utc"] == "20240101").all()
+
+
+def test_dry_run_writes_nothing(spark, binlog_dir, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("sink_dry"))
+    cfg = EngineConfig(max_files_per_trigger=1, shuffle_partitions=8, dry_run=True)
+    job, sink = _run_job(spark, binlog_dir, root, cfg)
+    assert len(sink.snapshots()) == 1  # only the empty initial snapshot
+    assert sink.read().count() == 0
+    assert len(job.metrics) == N_EPOCHS
