@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship CDC replay at sf0.001.
+``queries()`` exposes every SQL-expressible operator from SURVEY.md §2 plus
+the training-data pipeline operators; ``oracle_sql()`` carries the DuckDB
+twin for each (same column names, deterministic values).
+
+Floating-point columns are rounded in BOTH engines so the driver's
+value-hash compares equal despite summation-order differences.
 """
 
 from __future__ import annotations
@@ -12,27 +14,619 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
+
+
+def _cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end CDC replay: snapshot + churn derived deterministically from
+    (documents, events), collapsed by the engine, final state + sha256."""
+    from fixtures.gen_binlog import sql_mode_events
+    from mysql_time_machine_spark.config import EngineConfig
+    from mysql_time_machine_spark.functions import content_sha256
+    from mysql_time_machine_spark.plans.replay import replay_batch
+    from mysql_time_machine_spark.schema import BASE_COLUMNS
+
+    events = sql_mode_events(spark, sf_dir)
+    final = replay_batch(events, list(BASE_COLUMNS), EngineConfig(), impl="pandas")
+    return final.select(
+        "repo", "path", "commit", "lang", "content", content_sha256().alias("content_sha256")
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    return _cdc_replay(spark, SF_SMOKE)
+
+
+# ---------------------------------------------------------------------------
+# CDC / pipeline operators (SURVEY.md §2)
+# ---------------------------------------------------------------------------
+
+
+def _w1_lww_collapse(spark, sf_dir):
+    """A2/W1: last-writer-wins per key over the events stream."""
+    ev = _t(spark, sf_dir, "events")
+    ord_ = F.struct(F.col("ts"), F.col("event_id"))
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_id", ord_).alias("last_event_id"),
+        F.max_by("event_type", ord_).alias("last_type"),
+        F.round(F.max_by("value", ord_), 6).alias("last_value"),
+        F.count("*").alias("n_versions"),
+    )
+
+
+def _a4_per_table_counters(spark, sf_dir):
+    """A4: per-table counters + totals (CHANGES.txt:124)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.max("event_id").alias("max_event_id"),
+    )
+
+
+def _a6_daily_changes(spark, sf_dir):
+    """A6: UTC daily-changes bucketing (CHANGES.txt:55,111,123)."""
+    from mysql_time_machine_spark.functions import daily_bucket_utc
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(daily_bucket_utc("ts").alias("day_utc")).agg(
+        F.count("*").alias("n_changes"),
+        F.count_distinct("user_id").alias("n_keys"),
+    )
+
+
+def _p10_salt_key(spark, sf_dir):
+    """P10: the reference's salted row key, byte-exact (CHANGES.txt:102-104)."""
+    from mysql_time_machine_spark.functions import salt_key
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        salt_key(F.col("user_id").cast("string"), F.col("event_type")).alias("salted_key"),
+    )
+
+
+def _p11_sha256(spark, sf_dir):
+    """P11: per-row content sha256 — the build's correctness invariant."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.sha2("text", 256).alias("content_sha256"))
+
+
+def _p3_blob_hex(spark, sf_dir):
+    """P3: BLOB -> hex string (CHANGES.txt:161)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.hex(F.encode(F.substring("text", 1, 16), "UTF-8")).alias("hex16")
+    )
+
+
+def _p4_ts_epoch(spark, sf_dir):
+    """P4: timestamp -> tz-independent epoch long (CHANGES.txt:162-163)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select("event_id", F.unix_timestamp("ts").alias("ts_epoch"))
+
+
+def _p7_changed_cells(spark, sf_dir):
+    """P7: emit only changed values (CHANGES.txt:173) — value vs previous
+    per key, window-lag form."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_value", F.lag("value").over(w))
+        .where(F.col("prev_value").isNull() | (F.col("value") != F.col("prev_value")))
+        .select("event_id", "user_id", F.round("value", 6).alias("value"))
+    )
+
+
+def _w2_asof_resolution(spark, sf_dir):
+    """W2/J0: as-of resolution — for each event, the latest 'signup'
+    event at-or-before it for the same key (the schema-version-as-of shape)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.max(F.when(F.col("event_type") == "signup", F.col("event_id"))).over(w).alias("asof_signup_id"),
+    )
+
+
+def _f1_table_filter(spark, sf_dir):
+    """F1: table-regex replication filter (CHANGES.txt:41-42)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.where(F.col("lang").rlike("^(en|de)$")).select("doc_id", "lang")
+
+
+def _f2_delta_allowlist(spark, sf_dir):
+    """F2: delta-tables allowlist gate (CHANGES.txt:111,101)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.where(F.col("event_type").isin("click", "purchase")).groupBy("event_type").agg(
+        F.count("*").alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# analytic joins/aggregations (the snapshotter's batch-query layer)
+# ---------------------------------------------------------------------------
+
+
+def _q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _q3_user_spend(spark, sf_dir):
+    """Join muscle: customer ⋈ orders, segment rollup."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count_distinct("c_custkey").alias("n_customers"),
+        )
+    )
+
+
+def _events_enriched(spark, sf_dir):
+    """Stream-static broadcast enrichment: events ⋈ customer dim."""
+    ev = _t(spark, sf_dir, "events")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        ev.join(F.broadcast(c), ev.user_id == c.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline operators
+# ---------------------------------------------------------------------------
+
+
+def _dedup_exact(spark, sf_dir):
+    from mysql_time_machine_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def _dedup_fingerprint(spark, sf_dir):
+    from mysql_time_machine_spark.operators.dedup import fingerprint_dedup
+
+    return fingerprint_dedup(_t(spark, sf_dir, "documents"))
+
+
+def _dedup_ngram_jaccard(spark, sf_dir):
+    from mysql_time_machine_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
+    return pairs.select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _dedup_minhash_lsh(spark, sf_dir):
+    from mysql_time_machine_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(_t(spark, sf_dir, "documents"), n_hashes=16, bands=4, threshold=0.2)
+    return pairs.select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _dedup_simhash(spark, sf_dir):
+    from mysql_time_machine_spark.operators.dedup import simhash
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash("text").alias("simhash32"))
+
+
+def _dedup_embedding(spark, sf_dir):
+    from mysql_time_machine_spark.operators.dedup import embedding_dup_pairs
+
+    pairs = embedding_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+    return pairs.select("a_id", "b_id", F.round("cos", 6).alias("cos"))
+
+
+def _sim_bruteforce_topk(spark, sf_dir):
+    from mysql_time_machine_spark.operators.ann import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 7).head()["embedding"]
+    top = brute_force_topk(emb, list(q), k=20)
+    return top.select("vec_id", F.round("score", 6).alias("score"))
+
+
+def _sim_ivf_assign(spark, sf_dir):
+    from mysql_time_machine_spark.operators.ann import assign_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return assign_centroids(emb, nlist=8).select("vec_id", "centroid_id")
+
+
+def _text_langid(spark, sf_dir):
+    from mysql_time_machine_spark.functions.text import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id("text").alias("lang_guess"))
+
+
+def _text_quality(spark, sf_dir):
+    from mysql_time_machine_spark.functions.text import punct_ratio, quality_score, stopword_ratio
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(stopword_ratio("text"), 6).alias("stopword_ratio"),
+        F.round(punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(quality_score("text"), 6).alias("quality"),
+    )
+
+
+def _text_token_count(spark, sf_dir):
+    from mysql_time_machine_spark.functions.text import bpe_ish_token_count, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        bpe_ish_token_count("text").alias("n_bpe_tokens"),
+    )
+
+
+def _text_fingerprint(spark, sf_dir):
+    from mysql_time_machine_spark.functions.text import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint("text").alias("fp"))
+
+
+def _mm_media_features(spark, sf_dir):
+    from mysql_time_machine_spark.operators.multimodal import extract_features, media_from_documents
+
+    media = media_from_documents(_t(spark, sf_dir, "documents"))
+    return extract_features(media).select("media_id", "kind", "n_bytes", "payload_md5")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "cdc_replay_final_state": _cdc_replay,
+        "w1_lww_collapse": _w1_lww_collapse,
+        "a4_per_table_counters": _a4_per_table_counters,
+        "a6_daily_changes": _a6_daily_changes,
+        "p10_salt_key": _p10_salt_key,
+        "p11_sha256": _p11_sha256,
+        "p3_blob_hex": _p3_blob_hex,
+        "p4_ts_epoch": _p4_ts_epoch,
+        "p7_changed_cells": _p7_changed_cells,
+        "w2_asof_resolution": _w2_asof_resolution,
+        "f1_table_filter": _f1_table_filter,
+        "f2_delta_allowlist": _f2_delta_allowlist,
+        "q1_pricing_summary": _q1_pricing_summary,
+        "q3_user_spend": _q3_user_spend,
+        "events_enriched": _events_enriched,
+        "dedup_exact": _dedup_exact,
+        "dedup_fingerprint": _dedup_fingerprint,
+        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "dedup_minhash_lsh": _dedup_minhash_lsh,
+        "dedup_simhash": _dedup_simhash,
+        "dedup_embedding": _dedup_embedding,
+        "sim_bruteforce_topk": _sim_bruteforce_topk,
+        "sim_ivf_assign": _sim_ivf_assign,
+        "text_langid": _text_langid,
+        "text_quality": _text_quality,
+        "text_token_count": _text_token_count,
+        "text_fingerprint": _text_fingerprint,
+        "mm_media_features": _mm_media_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+# shared SQL fragments (must mirror mysql_time_machine_spark.functions.text)
+_TOKENS = "list_filter(string_split_regex(lower({c}), '[^a-z0-9]+'), t -> t != '')"
+_STOP = {
+    "en": "['the','and','of','to','in','is','that','for','with','as']",
+    "de": "['der','die','das','und','ist','von','mit','auf','ein','zu']",
+    "es": "['el','la','de','que','y','en','un','es','por','con']",
+    "fr": "['le','la','de','et','les','des','est','un','une','dans']",
+}
+
+
+def _sql_shingles(c: str = "text", n: int = 3) -> str:
+    t = _TOKENS.format(c=c)
+    return f"""(
+      CASE WHEN len({t}) >= {n}
+        THEN list_distinct(list_transform(
+               range(1, len({t}) - {n} + 2),
+               i -> array_to_string(list_slice({t}, i, i + {n} - 1), ' ')))
+        ELSE [array_to_string({t}, ' ')]
+      END)"""
+
+
+def _sql_hex8_to_int(expr: str) -> str:
+    """First 8 hex chars of md5 -> BIGINT, via digit positions (DuckDB has
+    no conv())."""
+    terms = []
+    for i in range(8):
+        mult = 16 ** (7 - i)
+        terms.append(f"(strpos('0123456789abcdef', substr({expr}, {i + 1}, 1)) - 1) * {mult}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _sql_simhash(c: str = "text") -> str:
+    t = f"list_distinct({_TOKENS.format(c=c)})"
+    h = _sql_hex8_to_int("md5(t)")
+    hs = f"list_transform({t}, t -> {h})"
+    bits = []
+    for bit in range(32):
+        p = 2**bit
+        bits.append(
+            f"(CASE WHEN list_sum(list_transform({hs}, h -> CASE WHEN (h // {p}) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN {p} ELSE 0 END)"
+        )
+    return "(" + " + ".join(bits) + ")::BIGINT"
+
+
+def _sql_langid(c: str = "text") -> str:
+    t = _TOKENS.format(c=c)
+    scores = {
+        lang: f"len(list_filter({t}, t -> list_contains({arr}, t)))" for lang, arr in _STOP.items()
+    }
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    whens = "".join(
+        f" WHEN {best} > 0 AND {scores[lang]} = {best} THEN '{lang}'" for lang in _STOP
+    )
+    return f"(CASE{whens} ELSE 'und' END)"
+
+
+_N_ORGS = 20
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from fixtures.gen_binlog import SQL_MODE_FINAL_STATE_SQL
+
+    t = _TOKENS.format(c="text")
+    sw_en = _STOP["en"]
+    stopword_ratio = f"(len(list_filter({t}, t -> list_contains({sw_en}, t))) / greatest(len({t}), 1))"
+    punct = """(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{}]', '', 'g')) / greatest(length(text), 1))"""
+    quality = f"""(
+        (CASE WHEN len({t}) BETWEEN 10 AND 5000 THEN 1.0 ELSE 0.3 END) * 0.4
+      + (CASE WHEN {stopword_ratio} BETWEEN 0.05 AND 0.6 THEN 1.0 ELSE 0.4 END) * 0.4
+      + (CASE WHEN {punct} <= 0.2 THEN 1.0 ELSE 0.5 END) * 0.2)"""
+
+    # explicit left-to-right double cosine — bit-compatible with the Spark
+    # F.aggregate fold (DuckDB's list_cosine_similarity accumulates
+    # differently and diverges at the 7th decimal)
+    def _cos(a: str, b: str) -> str:
+        return (
+            f"(list_sum(list_transform(list_zip({a}, {b}), x -> x[1]::DOUBLE * x[2]::DOUBLE))"
+            f" / (sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))"
+            f" * sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE)))))"
+        )
+
+    shingles = _sql_shingles()
+    jaccard = (
+        "len(list_intersect(a.sh, b.sh))::DOUBLE / "
+        "greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1)"
+    )
+
+    minhash_sig = (
+        "["
+        + ", ".join(
+            f"list_min(list_transform(shm, m -> md5('{k}:' || m)))" for k in range(16)
+        )
+        + "]"
+    )
+    band_buckets = (
+        "["
+        + ", ".join(
+            f"struct_pack(band := {bi}, bucket := md5(array_to_string(list_slice(mh, {bi * 4 + 1}, {bi * 4 + 4}), '|')))"
+            for bi in range(4)
+        )
+        + "]"
+    )
+
+    return {
+        "cdc_replay_final_state": SQL_MODE_FINAL_STATE_SQL,
+        "w1_lww_collapse": """
+            SELECT user_id, last_event_id, last_type, last_value, n_versions FROM (
+                SELECT user_id,
+                       event_id AS last_event_id,
+                       event_type AS last_type,
+                       round(value, 6) AS last_value,
+                       count(*) OVER (PARTITION BY user_id) AS n_versions,
+                       row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events)
+            WHERE rn = 1
+        """,
+        "a4_per_table_counters": """
+            SELECT event_type, count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value,
+                   max(event_id) AS max_event_id
+            FROM events GROUP BY event_type
+        """,
+        "a6_daily_changes": """
+            SELECT strftime(ts, '%Y%m%d') AS day_utc,
+                   count(*) AS n_changes,
+                   count(DISTINCT user_id) AS n_keys
+            FROM events GROUP BY 1
+        """,
+        "p10_salt_key": """
+            SELECT event_id,
+                   substr(md5(user_id || ';' || event_type), 1, 4) || ';' ||
+                   user_id || ';' || event_type AS salted_key
+            FROM events
+        """,
+        "p11_sha256": "SELECT doc_id, sha256(text) AS content_sha256 FROM documents",
+        "p3_blob_hex": "SELECT doc_id, upper(hex(substr(text, 1, 16))) AS hex16 FROM documents",
+        # floor, not round: Spark unix_timestamp truncates sub-second parts
+        "p4_ts_epoch": "SELECT event_id, floor(epoch(ts))::BIGINT AS ts_epoch FROM events",
+        "p7_changed_cells": """
+            SELECT event_id, user_id, round(value, 6) AS value FROM (
+                SELECT event_id, user_id, value,
+                       lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+                FROM events)
+            WHERE prev_value IS NULL OR value != prev_value
+        """,
+        "w2_asof_resolution": """
+            SELECT event_id, user_id,
+                   max(CASE WHEN event_type = 'signup' THEN event_id END)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_signup_id
+            FROM events
+        """,
+        "f1_table_filter": "SELECT doc_id, lang FROM documents WHERE regexp_matches(lang, '^(en|de)$')",
+        "f2_delta_allowlist": """
+            SELECT event_type, count(*) AS n FROM events
+            WHERE event_type IN ('click', 'purchase') GROUP BY event_type
+        """,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_user_spend": """
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   count(DISTINCT c_custkey) AS n_customers
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "events_enriched": """
+            SELECT c_mktsegment, event_type, count(*) AS n,
+                   round(sum(value), 4) AS sum_value
+            FROM events JOIN customer ON user_id = c_custkey
+            GROUP BY c_mktsegment, event_type
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_md5, min(doc_id) AS canonical_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        "dedup_fingerprint": f"""
+            SELECT md5(array_to_string({t}, ' ')) AS fp,
+                   min(doc_id) AS canonical_id, count(*) AS n_copies
+            FROM documents GROUP BY 1
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH sh AS (
+                SELECT doc_id AS id, lang, {shingles} AS sh,
+                       length(text) // 64 AS lb
+                FROM documents)
+            SELECT a.id AS a_id, b.id AS b_id,
+                   round({jaccard}, 6) AS jaccard
+            FROM sh a JOIN sh b
+              ON a.id < b.id AND a.lang = b.lang AND abs(a.lb - b.lb) <= 1
+            WHERE {jaccard} >= 0.2
+        """,
+        "dedup_minhash_lsh": f"""
+            WITH sh AS (
+                SELECT doc_id AS id, {shingles} AS sh FROM documents),
+            sig AS (
+                SELECT id, sh, {minhash_sig} AS mh
+                FROM (SELECT id, sh, list_transform(sh, s -> md5(s)) AS shm FROM sh)),
+            banded AS (
+                SELECT id, sh, bb.band AS band, bb.bucket AS bucket
+                FROM (SELECT id, sh, unnest({band_buckets}) AS bb FROM sig)),
+            cand AS (
+                SELECT DISTINCT a.id AS a_id, b.id AS b_id,
+                       any_value(a.sh) AS a_sh, any_value(b.sh) AS b_sh
+                FROM banded a JOIN banded b
+                  ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+                GROUP BY a.id, b.id)
+            SELECT a_id, b_id,
+                   round(len(list_intersect(a_sh, b_sh))::DOUBLE /
+                         greatest(len(list_distinct(list_concat(a_sh, b_sh))), 1), 6) AS jaccard
+            FROM cand
+            WHERE len(list_intersect(a_sh, b_sh))::DOUBLE /
+                  greatest(len(list_distinct(list_concat(a_sh, b_sh))), 1) >= 0.2
+        """,
+        "dedup_simhash": f"SELECT doc_id, {_sql_simhash()} AS simhash32 FROM documents",
+        "dedup_embedding": f"""
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                   round({_cos("a.embedding", "b.embedding")}, 6) AS cos
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE {_cos("a.embedding", "b.embedding")} >= 0.4
+        """,
+        "sim_bruteforce_topk": f"""
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7)
+            SELECT vec_id, round({_cos("embedding", "qv")}, 6) AS score
+            FROM embeddings, q
+            ORDER BY {_cos("embedding", "qv")} DESC, vec_id
+            LIMIT 20
+        """,
+        "sim_ivf_assign": """
+            WITH cents AS (
+                SELECT vec_id AS centroid_id, embedding AS cvec
+                FROM embeddings WHERE vec_id < 8),
+            scored AS (
+                SELECT e.vec_id, c.centroid_id,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC,
+                                    c.centroid_id) AS rn
+                FROM embeddings e CROSS JOIN cents c)
+            SELECT vec_id, centroid_id FROM scored WHERE rn = 1
+        """,
+        "text_langid": f"SELECT doc_id, {_sql_langid()} AS lang_guess FROM documents",
+        "text_quality": f"""
+            SELECT doc_id,
+                   round({stopword_ratio}, 6) AS stopword_ratio,
+                   round({punct}, 6) AS punct_ratio,
+                   round({quality}, 6) AS quality
+            FROM documents
+        """,
+        "text_token_count": f"""
+            SELECT doc_id, len({t}) AS n_tokens,
+                   len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens
+            FROM documents
+        """,
+        "text_fingerprint": f"SELECT doc_id, md5(array_to_string({t}, ' ')) AS fp FROM documents",
+        "mm_media_features": """
+            SELECT doc_id AS media_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'image'
+                        WHEN doc_id % 3 = 1 THEN 'audio'
+                        ELSE 'video' END AS kind,
+                   octet_length(encode(text)) AS n_bytes,
+                   md5(text) AS payload_md5
+            FROM documents
+        """,
+    }

@@ -1,0 +1,227 @@
+"""Training-data pipeline operators: dedup ladder, ANN, text, multimodal."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from mysql_time_machine_spark.functions.text import (
+    STOPWORDS,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from mysql_time_machine_spark.operators.ann import assign_centroids, brute_force_topk, ivf_topk
+from mysql_time_machine_spark.operators.dedup import (
+    embedding_dup_pairs,
+    exact_dedup,
+    fingerprint_dedup,
+    minhash_lsh_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+from mysql_time_machine_spark.operators.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    media_from_documents,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+# -- dedup -------------------------------------------------------------------
+
+
+def test_exact_dedup_counts(spark, docs):
+    import duckdb
+
+    got = exact_dedup(docs).count()
+    exp = duckdb.sql(f"select count(distinct text) from '{SF}/documents.parquet'").fetchone()[0]
+    assert got == exp
+
+
+def test_exact_dedup_finds_planted_copy(spark, docs):
+    planted = docs.limit(1).withColumn("doc_id", F.lit(10_000).cast("long"))
+    out = exact_dedup(docs.unionByName(planted))
+    assert out.where(F.col("n_copies") >= 2).count() >= 1
+
+
+def test_fingerprint_dedup_normalizes(spark):
+    d = spark.createDataFrame(
+        [Row(doc_id=1, text="Hello,   World!"), Row(doc_id=2, text="hello world"),
+         Row(doc_id=3, text="entirely different words")]
+    )
+    out = fingerprint_dedup(d).where(F.col("n_copies") == 2).collect()
+    assert len(out) == 1 and out[0]["canonical_id"] == 1
+
+
+def test_ngram_jaccard_planted_near_dup(spark, docs):
+    base = docs.limit(1)
+    # mutate one word -> high but <1 jaccard
+    mutated = base.withColumn("doc_id", F.lit(10_001).cast("long")).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" mutation"))
+    )
+    pairs = ngram_jaccard_pairs(docs.unionByName(mutated), threshold=0.5).collect()
+    assert any(r["b_id"] == 10_001 and 0.5 <= r["jaccard"] < 1.0 for r in pairs)
+
+
+def test_minhash_signature_portable(spark, docs):
+    """Spark signature == straight hashlib reimplementation (portability
+    to the DuckDB oracle depends on this)."""
+    row = docs.select("doc_id", "text").limit(1).head()
+    toks = [t for t in re.split(r"[^a-z0-9]+", row["text"].lower()) if t]
+    shingles = sorted({" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}) if len(toks) >= 3 else [" ".join(toks)]
+    exp = [
+        min(
+            hashlib.md5(f"{k}:{hashlib.md5(s.encode()).hexdigest()}".encode()).hexdigest()
+            for s in shingles
+        )
+        for k in range(16)
+    ]
+    got = (
+        docs.where(F.col("doc_id") == row["doc_id"])
+        .select(minhash_signature("text").alias("mh"))
+        .head()["mh"]
+    )
+    assert list(got) == exp
+
+
+def test_minhash_lsh_finds_planted_dup(spark, docs):
+    sample = docs.limit(30)
+    dup = sample.limit(1).withColumn("doc_id", F.lit(10_002).cast("long"))
+    pairs = minhash_lsh_pairs(sample.unionByName(dup), threshold=0.9).collect()
+    assert any(r["b_id"] == 10_002 and r["jaccard"] == 1.0 for r in pairs)
+
+
+def test_simhash_portable_and_near_dup(spark):
+    d = spark.createDataFrame(
+        [
+            Row(doc_id=1, lang="en", text="the quick brown fox jumps over the lazy dog near the river bank today"),
+            Row(doc_id=2, lang="en", text="the quick brown fox jumps over the lazy dog near the river bank tonight"),
+            Row(doc_id=3, lang="en", text="completely unrelated legal boilerplate paragraph about insurance claims"),
+        ]
+    )
+    # portability: Spark simhash == python reimplementation
+    got = {r["doc_id"]: r["h"] for r in d.select("doc_id", simhash("text").alias("h")).collect()}
+
+    def py_simhash(text):
+        toks = sorted({t for t in re.split(r"[^a-z0-9]+", text.lower()) if t})
+        hs = [int(hashlib.md5(t.encode()).hexdigest()[:8], 16) for t in toks]
+        out = 0
+        for bit in range(32):
+            votes = sum(1 if (h >> bit) & 1 else -1 for h in hs)
+            if votes > 0:
+                out += 1 << bit
+        return out
+
+    for r in d.collect():
+        assert got[r["doc_id"]] == py_simhash(r["text"]), r["doc_id"]
+
+    pairs = {(r["a_id"], r["b_id"]): r["hamming"] for r in simhash_pairs(d, max_hamming=8).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_embedding_dup_pairs_planted(spark, emb):
+    sample = emb.limit(50)
+    dup = sample.limit(1).withColumn("vec_id", F.lit(10_003).cast("long"))
+    pairs = embedding_dup_pairs(sample.unionByName(dup), threshold=0.999).collect()
+    assert any(r["b_id"] == 10_003 and r["cos"] > 0.999 for r in pairs)
+
+
+# -- ANN ----------------------------------------------------------------------
+
+
+def test_brute_force_topk_self_first(spark, emb):
+    q = emb.where(F.col("vec_id") == 7).head()["embedding"]
+    top = brute_force_topk(emb, list(q), k=5).collect()
+    assert top[0]["vec_id"] == 7
+    assert abs(top[0]["score"] - 1.0) < 1e-6
+    assert all(top[i]["score"] >= top[i + 1]["score"] for i in range(len(top) - 1))
+
+
+def test_ivf_topk_recall(spark, emb):
+    q = emb.where(F.col("vec_id") == 7).head()["embedding"]
+    exact = [r["vec_id"] for r in brute_force_topk(emb, list(q), k=10).collect()]
+    approx = [r["vec_id"] for r in ivf_topk(emb, list(q), k=10, nlist=8, nprobe=4).collect()]
+    # IVF probes half the lists: require the query itself + >=40% overlap
+    assert 7 in approx
+    assert len(set(exact) & set(approx)) >= 4
+
+
+def test_assign_centroids_complete(spark, emb):
+    assigned = assign_centroids(emb, nlist=8)
+    assert assigned.count() == emb.count()
+    assert assigned.select("centroid_id").distinct().count() <= 8
+
+
+# -- text ----------------------------------------------------------------------
+
+
+def test_token_count_and_quality(spark, docs):
+    r = docs.select(
+        token_count("text").alias("n"), quality_score("text").alias("q")
+    ).agg(F.min("n"), F.min("q"), F.max("q")).head()
+    assert r[0] > 0
+    assert 0.0 <= r[1] <= r[2] <= 1.0
+
+
+def test_lang_id_values(spark, docs):
+    vals = {r["l"] for r in docs.select(lang_id("text").alias("l")).distinct().collect()}
+    assert vals <= set(STOPWORDS) | {"und"}
+    # corpus text is english-ish word soup containing 'the'
+    en = docs.select(lang_id("text").alias("l")).where(F.col("l") == "en").count()
+    assert en > 0
+
+
+def test_fingerprint_stability(spark, docs):
+    a = docs.select("doc_id", fingerprint("text").alias("f")).collect()
+    b = docs.select("doc_id", fingerprint("text").alias("f")).collect()
+    assert a == b
+
+
+# -- multimodal ------------------------------------------------------------------
+
+
+def test_multimodal_features_deterministic(spark, docs):
+    media = media_from_documents(docs)
+    feats = extract_features(media).cache()
+    assert feats.count() == docs.count()
+    one = feats.where(F.col("media_id") == 0).head()
+    text0 = docs.where(F.col("doc_id") == 0).head()["text"]
+    assert one["payload_md5"] == hashlib.md5(text0.encode()).hexdigest()
+    assert one["n_bytes"] == len(text0.encode())
+    # images have dims, audio/video have duration
+    assert feats.where((F.col("kind") == "image") & F.col("width").isNull()).count() == 0
+    assert feats.where((F.col("kind") == "image") & F.col("duration_ms").isNotNull()).count() == 0
+    assert feats.where((F.col("kind") != "image") & F.col("width").isNotNull()).count() == 0
+
+
+def test_multimodal_real_decode_raises(spark, docs):
+    media = media_from_documents(docs.limit(2))
+    with pytest.raises(Exception, match="NotImplementedError|not available"):
+        extract_features(media, decode_stub=False).collect()
+
+
+def test_frame_sample_plan(spark, docs):
+    media = media_from_documents(docs.limit(30))
+    frames = frame_sample_plan(media, every_ms=10_000).toPandas()
+    assert (frames["frame_ts_ms"] % 10_000 == 0).all()
+    assert frames.groupby("media_id").size().min() >= 1
