@@ -57,6 +57,22 @@ COLLAPSED_SCHEMA = T.StructType(
 )
 
 
+def _local_live_filter(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Map-side combiner: drop events strictly older than the partition's
+    last I/D per key. Safe regardless of how events are spread across
+    partitions — a later reset (higher order key) makes every earlier event
+    of that key dead in the global fold too. Cuts shuffle volume by the
+    per-partition churn factor, the same trick as partial aggregation."""
+    if pdf.empty:
+        return pdf
+    pdf = pdf.sort_values(ORDER_COLS, kind="mergesort")
+    key = pdf["repo"].str.cat(pdf["path"], sep="\x00")
+    is_reset = pdf["op"].isin(("I", "D"))
+    reset_cum = is_reset.groupby(key, sort=False).cumsum()
+    last_reset = reset_cum.groupby(key, sort=False).transform("max")
+    return pdf.loc[(reset_cum == last_reset).to_numpy()]
+
+
 def _collapse_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
     """Collapse all keys of one hash bucket. Called once per bucket group."""
     if pdf.empty:
@@ -113,7 +129,16 @@ def collapse_events_pandas(events: DataFrame, n_buckets: int = 64) -> DataFrame:
     bucket's worth of keys in a single Arrow batch.
     """
     events = events.where(F.col("op").isin("I", "U", "D"))
-    bucketed = events.withColumn("_bucket", salted_shuffle_key(n_buckets))
+    # column-prune BEFORE the shuffle + Arrow hop: only what the fold reads
+    # crosses the exchange and the JVM<->Python boundary ('before', gtid
+    # strings, txn metadata never do)
+    needed = ["repo", "path", "op", "after", "ts", "schema_version"] + ORDER_COLS
+    pruned = events.select(*needed)
+    # map-side combine: shed locally-dead events before shuffling
+    pruned = pruned.mapInPandas(
+        lambda batches: (_local_live_filter(b) for b in batches), pruned.schema
+    )
+    bucketed = pruned.withColumn("_bucket", salted_shuffle_key(n_buckets))
     return (
         bucketed.groupBy("_bucket")
         .applyInPandas(lambda pdf: _collapse_bucket(pdf.drop(columns=["_bucket"])), COLLAPSED_SCHEMA)
