@@ -48,7 +48,7 @@ def child(cpus: int, events_dir: str) -> None:
     cfg = EngineConfig(shuffle_partitions=PARTITIONS // 2)  # replay uses 2x -> PARTITIONS buckets
     trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "2"))
     out_stats = {}
-    for impl in ("pandas", "sql"):
+    for impl in ("pandas", "sorted", "sql"):
         walls = []
         for _ in range(trials):
             t0 = time.time()

@@ -25,12 +25,16 @@ def replication_delay_sec(ts: Column | str = "ts", op: Column | str = "op") -> C
     )
 
 
-def observe_ingest(df: DataFrame, name: str = "mtm_ingest") -> DataFrame:
+def observe_ingest(df: DataFrame, name: str = "mtm_ingest"):
     """Attach event-level observed metrics to a batch plan (A3): counts by
     op class + max non-rotate event ts. Collected for free with the action
-    that executes the plan."""
-    return df.observe(
-        name,
+    that executes the plan. Returns (df, Observation) — read
+    ``observation.get`` after an action ran."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    observed = df.observe(
+        obs,
         F.count("*").alias("events"),
         F.count_if(F.col("op") == "I").alias("n_I"),
         F.count_if(F.col("op") == "U").alias("n_U"),
@@ -38,6 +42,7 @@ def observe_ingest(df: DataFrame, name: str = "mtm_ingest") -> DataFrame:
         F.count_if(F.col("op") == "DDL").alias("n_DDL"),
         F.max(F.when(F.col("op") != "ROTATE", F.col("ts"))).alias("max_event_ts"),
     )
+    return observed, obs
 
 
 def per_table_counters(rows: DataFrame) -> DataFrame:

@@ -57,67 +57,79 @@ COLLAPSED_SCHEMA = T.StructType(
 )
 
 
-def _local_live_filter(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Map-side combiner: drop events strictly older than the partition's
-    last I/D per key. Safe regardless of how events are spread across
-    partitions — a later reset (higher order key) makes every earlier event
-    of that key dead in the global fold too. Cuts shuffle volume by the
-    per-partition churn factor, the same trick as partial aggregation."""
-    if pdf.empty:
-        return pdf
-    pdf = pdf.sort_values(ORDER_COLS, kind="mergesort")
-    key = pdf["repo"].str.cat(pdf["path"], sep="\x00")
-    is_reset = pdf["op"].isin(("I", "D"))
-    reset_cum = is_reset.groupby(key, sort=False).cumsum()
-    last_reset = reset_cum.groupby(key, sort=False).transform("max")
-    return pdf.loc[(reset_cum == last_reset).to_numpy()]
-
-
-def _collapse_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Collapse all keys of one hash bucket. Called once per bucket group."""
-    if pdf.empty:
-        return pd.DataFrame(columns=[f.name for f in COLLAPSED_SCHEMA.fields])
-    pdf = pdf.sort_values(ORDER_COLS, kind="mergesort")
-
-    # vectorized reset-segmentation: only events at-or-after the last I/D of
-    # each key can influence its final image
-    key = pdf["repo"].str.cat(pdf["path"], sep="\x00")
-    is_reset = pdf["op"].isin(("I", "D")).to_numpy()
-    reset_cum = pd.Series(is_reset, index=pdf.index).groupby(key, sort=False).cumsum()
-    last_reset = reset_cum.groupby(key, sort=False).transform("max")
-    survives = (reset_cum == last_reset).to_numpy()
-    live = pdf.loc[survives]
-    live_key = key[survives]
-
-    out: dict[str, dict] = {}
-    rows = zip(
-        live_key.to_numpy(),
-        live["repo"].to_numpy(),
-        live["path"].to_numpy(),
-        live["op"].to_numpy(),
-        live["after"].to_numpy(),
-        live["gtid_seq"].to_numpy(),
-        live["schema_version"].to_numpy(),
-        live["ts"].to_numpy(),
+def _with_ord(events: DataFrame) -> DataFrame:
+    return events.withColumn(
+        "_ord",
+        F.struct(F.col("gtid_seq"), F.col("log_file"), F.col("log_pos"), F.col("seq_in_txn")),
     )
-    for k, repo, path, op, after, gtid_seq, sv, ts in rows:
-        st = out.get(k)
-        if op == "D":
-            out[k] = {
-                "repo": repo, "path": path, "row_status": "D", "image": None,
-                "gtid_seq": gtid_seq, "schema_version": sv, "updated_ts": ts,
-            }
-        elif op == "I" or st is None or st["image"] is None:
-            out[k] = {
-                "repo": repo, "path": path, "row_status": op,
-                "image": dict(after) if after is not None else {},
-                "gtid_seq": gtid_seq, "schema_version": sv, "updated_ts": ts,
-            }
-        else:  # U merged onto a live image
-            if after:
-                st["image"].update(after)
-            st.update(row_status="U", gtid_seq=gtid_seq, schema_version=sv, updated_ts=ts)
-    return pd.DataFrame(list(out.values()), columns=[f.name for f in COLLAPSED_SCHEMA.fields])
+
+
+def live_events(events: DataFrame) -> DataFrame:
+    """JVM-side pre-reduction shared by both collapse paths: keep only
+    events at-or-after each key's LAST reset (I or D).
+
+    The per-key last-reset aggregate shuffles only (key, order-struct) —
+    map-side combined, no image maps — and the subsequent join+filter lets
+    whole-stage codegen discard every dead event before anything heavier
+    touches it. On churny logs this is a 10-100x data reduction; in the
+    no-reset worst case (pure partial updates) it degrades to a pass-through
+    with one cheap extra aggregate.
+    """
+    ev = _with_ord(events.where(F.col("op").isin("I", "U", "D")))
+    last_reset = ev.groupBy("repo", "path").agg(
+        F.max(F.when(F.col("op").isin("I", "D"), F.col("_ord"))).alias("_lr")
+    )
+    return (
+        ev.join(last_reset, ["repo", "path"])
+        .where(F.col("_lr").isNull() | (F.col("_ord") >= F.col("_lr")))
+        .drop("_lr")
+    )
+
+
+def _collapse_bucket_flat(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Collapse one hash bucket of FLATTENED (one row per event-cell) live
+    events. Invariant (guaranteed by live_events upstream): per key, at most
+    one reset event (I or D) survives, and it is the first in order — so
+    per-(key, cell) last-writer-wins over the survivors is exact, including
+    partial updates, deletes, and resurrection-after-delete.
+
+    Everything heavy is vectorized pandas (stable sort + drop_duplicates);
+    the only Python loop runs over the COLLAPSED (key, cell) pairs — the
+    output size, not the event count.
+    """
+    cols = [f.name for f in COLLAPSED_SCHEMA.fields]
+    if pdf.empty:
+        return pd.DataFrame(columns=cols)
+    pdf = pdf.sort_values(ORDER_COLS, kind="mergesort")
+
+    # last event per key -> row_status + lineage meta
+    meta = pdf.drop_duplicates(subset=["repo", "path"], keep="last")
+    # last write per (key, cell) -> final image cells
+    with_cell = pdf[pdf["cell"].notna()]
+    final_cells = with_cell.drop_duplicates(subset=["repo", "path", "cell"], keep="last")
+
+    images: dict[tuple, dict] = {}
+    for repo, path, cell, value in zip(
+        final_cells["repo"].to_numpy(),
+        final_cells["path"].to_numpy(),
+        final_cells["cell"].to_numpy(),
+        final_cells["value"].to_numpy(),
+    ):
+        images.setdefault((repo, path), {})[cell] = value
+
+    out = {
+        "repo": meta["repo"].to_numpy(),
+        "path": meta["path"].to_numpy(),
+        "row_status": meta["op"].to_numpy(),
+        "image": [
+            None if op == "D" else images.get((r, p), {})
+            for r, p, op in zip(meta["repo"].to_numpy(), meta["path"].to_numpy(), meta["op"].to_numpy())
+        ],
+        "gtid_seq": meta["gtid_seq"].to_numpy(),
+        "schema_version": meta["schema_version"].to_numpy(),
+        "updated_ts": meta["ts"].to_numpy(),
+    }
+    return pd.DataFrame(out, columns=cols)
 
 
 def collapse_events_pandas(events: DataFrame, n_buckets: int = 64) -> DataFrame:
@@ -128,21 +140,99 @@ def collapse_events_pandas(events: DataFrame, n_buckets: int = 64) -> DataFrame:
     the hash space like every other key, and one executor task handles one
     bucket's worth of keys in a single Arrow batch.
     """
-    events = events.where(F.col("op").isin("I", "U", "D"))
-    # column-prune BEFORE the shuffle + Arrow hop: only what the fold reads
+    # column-prune BEFORE the shuffle + Arrow hop: only what the kernel reads
     # crosses the exchange and the JVM<->Python boundary ('before', gtid
     # strings, txn metadata never do)
     needed = ["repo", "path", "op", "after", "ts", "schema_version"] + ORDER_COLS
     pruned = events.select(*needed)
-    # map-side combine: shed locally-dead events before shuffling
-    pruned = pruned.mapInPandas(
-        lambda batches: (_local_live_filter(b) for b in batches), pruned.schema
+    # JVM-side pre-reduction: Python only ever sees events that can still
+    # influence a final image (see live_events)
+    live = live_events(pruned).drop("_ord")
+    # flatten the image map JVM-side: Arrow then ships plain string columns
+    # (no per-row python dict materialization — the map type is rebuilt only
+    # for the collapsed output)
+    flat = live.select(
+        "repo", "path", "op", "ts", "schema_version", *ORDER_COLS,
+        F.explode_outer("after").alias("cell", "value"),
     )
-    bucketed = pruned.withColumn("_bucket", salted_shuffle_key(n_buckets))
+    bucketed = flat.withColumn("_bucket", salted_shuffle_key(n_buckets))
     return (
         bucketed.groupBy("_bucket")
-        .applyInPandas(lambda pdf: _collapse_bucket(pdf.drop(columns=["_bucket"])), COLLAPSED_SCHEMA)
+        .applyInPandas(lambda pdf: _collapse_bucket_flat(pdf.drop(columns=["_bucket"])), COLLAPSED_SCHEMA)
     )
+
+
+def collapse_events_sorted(events: DataFrame, n_buckets: int = 64) -> DataFrame:
+    """Scale variant of the pandas path: one JVM shuffle on the salted
+    bucket + Tungsten sortWithinPartitions((key, order)) + a STREAMING
+    mapInPandas kernel.
+
+    Unlike groupBy().applyInPandas — which re-sorts inside Python — the
+    sort runs in whole-stage-codegen'd JVM code (spillable, radix-assisted),
+    and Python does a single linear pass of vectorized drop_duplicates per
+    Arrow batch with a small carry for keys spanning batch boundaries.
+    """
+    needed = ["repo", "path", "op", "after", "ts", "schema_version"] + ORDER_COLS
+    live = live_events(events.select(*needed)).drop("_ord")
+    flat = live.select(
+        "repo", "path", "op", "ts", "schema_version", *ORDER_COLS,
+        F.explode_outer("after").alias("cell", "value"),
+    )
+    arranged = (
+        flat.repartition(n_buckets, salted_shuffle_key(n_buckets))
+        .sortWithinPartitions("repo", "path", *ORDER_COLS)
+    )
+
+    def kernel(batches):
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if pdf.empty:
+                continue
+            # hold back the (possibly incomplete) trailing key
+            last_repo = pdf["repo"].iloc[-1]
+            last_path = pdf["path"].iloc[-1]
+            tail_mask = (pdf["repo"] == last_repo) & (pdf["path"] == last_path)
+            carry = pdf.loc[tail_mask]
+            head = pdf.loc[~tail_mask]
+            if len(head):
+                yield _collapse_sorted_flat(head)
+        if carry is not None and len(carry):
+            yield _collapse_sorted_flat(carry)
+
+    return arranged.mapInPandas(kernel, COLLAPSED_SCHEMA)
+
+
+def _collapse_sorted_flat(pdf: pd.DataFrame) -> pd.DataFrame:
+    """_collapse_bucket_flat minus the sort — input arrives (key, order)-
+    sorted from the JVM."""
+    cols = [f.name for f in COLLAPSED_SCHEMA.fields]
+    meta = pdf.drop_duplicates(subset=["repo", "path"], keep="last")
+    final_cells = pdf[pdf["cell"].notna()].drop_duplicates(
+        subset=["repo", "path", "cell"], keep="last"
+    )
+    images: dict[tuple, dict] = {}
+    for repo, path, cell, value in zip(
+        final_cells["repo"].to_numpy(),
+        final_cells["path"].to_numpy(),
+        final_cells["cell"].to_numpy(),
+        final_cells["value"].to_numpy(),
+    ):
+        images.setdefault((repo, path), {})[cell] = value
+    out = {
+        "repo": meta["repo"].to_numpy(),
+        "path": meta["path"].to_numpy(),
+        "row_status": meta["op"].to_numpy(),
+        "image": [
+            None if op == "D" else images.get((r, p), {})
+            for r, p, op in zip(meta["repo"].to_numpy(), meta["path"].to_numpy(), meta["op"].to_numpy())
+        ],
+        "gtid_seq": meta["gtid_seq"].to_numpy(),
+        "schema_version": meta["schema_version"].to_numpy(),
+        "updated_ts": meta["ts"].to_numpy(),
+    }
+    return pd.DataFrame(out, columns=cols)
 
 
 def collapse_events_sql(events: DataFrame) -> DataFrame:

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from mysql_time_machine_spark.config import EngineConfig
 from mysql_time_machine_spark.operators.reassemble import (
     collapse_events_pandas,
+    collapse_events_sorted,
     collapse_events_sql,
     materialize,
 )
@@ -46,6 +47,8 @@ def replay_batch(
     ev = filter_events(events, cfg)
     if impl == "pandas":
         collapsed = collapse_events_pandas(ev, n_buckets=cfg.shuffle_partitions * 2)
+    elif impl == "sorted":
+        collapsed = collapse_events_sorted(ev, n_buckets=cfg.shuffle_partitions * 2)
     elif impl == "sql":
         collapsed = collapse_events_sql(ev)
     else:  # pragma: no cover

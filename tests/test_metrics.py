@@ -28,9 +28,9 @@ def test_observe_ingest_counts(spark):
     df = spark.createDataFrame(
         [Row(op=o, ts="2024-01-01 00:00:00") for o in ["I", "I", "U", "D", "DDL", "ROTATE"]]
     ).withColumn("ts", F.col("ts").cast("timestamp"))
-    observed = observe_ingest(df)
+    observed, obs = observe_ingest(df)
     observed.collect()
-    m = observed.observedMetrics["mtm_ingest"]
+    m = obs.get
     assert (m["events"], m["n_I"], m["n_U"], m["n_D"], m["n_DDL"]) == (6, 2, 1, 1, 1)
 
 

@@ -34,7 +34,7 @@ def _run(spark, log, impl):
     return got
 
 
-@pytest.mark.parametrize("impl", ["pandas", "sql"])
+@pytest.mark.parametrize("impl", ["pandas", "sorted", "sql"])
 def test_replay_matches_oracle(spark, rich_log, impl):
     got = _run(spark, rich_log, impl)
     exp = replay_expected(rich_log.events, _final_columns(rich_log))
@@ -74,6 +74,16 @@ def test_parallelism_invariance(spark, rich_log):
     )
     exp = replay_expected(rich_log.events, _final_columns(rich_log))
     assert got["content_sha256"].tolist() == exp["content_sha256"].tolist()
+
+
+@pytest.mark.parametrize("seed", [3, 123, 777])
+def test_replay_matches_oracle_more_seeds(spark, seed):
+    """Property-style sweep: different churn shapes (seeded), same invariant."""
+    log = generate_rich(seed=seed, n_keys=30, n_txns=120)
+    got = _run(spark, log, "pandas")
+    exp = replay_expected(log.events, _final_columns(log))
+    assert got["content_sha256"].tolist() == exp["content_sha256"].tolist()
+    assert got["row_status"].tolist() == exp["row_status"].tolist()
 
 
 def test_full_post_image_mode_agrees(spark):
