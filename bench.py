@@ -129,7 +129,6 @@ def main():
         "w1_lww_collapse",
         "events_enriched",
         "dedup_exact",
-        "dedup_minhash_lsh",
         "dedup_simhash",
         "sim_bruteforce_topk",
         "text_quality",
@@ -137,6 +136,11 @@ def main():
     ):
         df_fn = qs[name]
         timed(name, lambda f=df_fn: f(spark, SF_DIR).agg(F.count("*")).collect())
+
+    timed(
+        "dedup_minhash_lsh",
+        lambda: qs["dedup_minhash_lsh"](spark, SF_DIR).agg(F.count("*")).collect(),
+    )
 
     total = round(sum(timings.values()), 3)
     print(

@@ -148,10 +148,21 @@ def minhash_lsh_pairs(
     shuffle join, no quadratic scan anywhere.
     """
     rows_per_band = n_hashes // bands
-    sig = docs.select(
-        F.col(id_col).alias("id"),
-        word_shingles(text_col, n).alias("sh"),
-        minhash_signature(text_col, n_hashes, n).alias("mh"),
+    # materialize shingles ONCE; the k hash passes then transform the
+    # md5-digest array (short fixed-width strings), never the raw text —
+    # without this projection boundary Catalyst re-derives the shingle
+    # array for every consumer (no CSE across array HOFs)
+    sh_df = docs.select(F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh"))
+    shm_df = sh_df.select("id", "sh", F.transform("sh", lambda s: F.md5(s)).alias("shm"))
+    sig = shm_df.select(
+        "id",
+        "sh",
+        F.array(
+            *[
+                F.array_min(F.transform("shm", lambda m: F.md5(F.concat(F.lit(f"{k}:"), m))))
+                for k in range(n_hashes)
+            ]
+        ).alias("mh"),
     )
     sig.persist()
     # the banded join carries ONLY (id, band, bucket) — candidate discovery
