@@ -354,5 +354,30 @@ def write_epoch_files(log: RichLog, out_dir: str, spark: SparkSession) -> list[s
     return paths
 
 
+def write_epoch_files_splitting(log: RichLog, out_dir: str, spark: SparkSession, n_files: int = 8) -> list[str]:
+    """Adversarial variant: epoch files cut at arbitrary ROW positions, so
+    transactions straddle file (= micro-batch) boundaries. Exercises the v2
+    cross-batch uuidBuffer (streaming/txn_buffer.py); the v1 invariant does
+    NOT hold for these files."""
+    import glob
+    import shutil
+    import tempfile
+
+    os.makedirs(out_dir, exist_ok=True)
+    df = log.events.drop(columns=["epoch"]).reset_index(drop=True)
+    bounds = [round(i * len(df) / n_files) for i in range(n_files + 1)]
+    paths = []
+    for e in range(n_files):
+        sub = df.iloc[bounds[e] : bounds[e + 1]]
+        sdf = spark.createDataFrame(sub, schema=EVENT_SCHEMA)
+        with tempfile.TemporaryDirectory() as td:
+            sdf.coalesce(1).write.mode("overwrite").parquet(os.path.join(td, "out"))
+            part = glob.glob(os.path.join(td, "out", "part-*.parquet"))[0]
+            p = os.path.join(out_dir, f"chunk-{e:05d}.parquet")
+            shutil.copyfile(part, p)
+        paths.append(p)
+    return paths
+
+
 def events_df(log: RichLog, spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(log.events.drop(columns=["epoch"]), schema=EVENT_SCHEMA)

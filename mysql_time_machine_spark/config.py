@@ -48,3 +48,7 @@ class EngineConfig:
 
     # --- streaming ---------------------------------------------------------
     max_files_per_trigger: int = 4
+    #: v2 cross-batch transaction reassembly (applyInPandasWithState keyed
+    #: by txn_id): set when the binlog files may split transactions; with
+    #: txn-atomic files (MySQL rotation semantics) the buffer is unnecessary
+    buffer_transactions: bool = False

@@ -67,6 +67,10 @@ class ApplyJob:
         batch = batch.withColumn("_class", classify_event())
         batch.persist()
         try:
+            if batch.isEmpty():
+                # stateful upstream ops (txn buffer timeouts) can emit empty
+                # micro-batches; don't burn a snapshot commit on them
+                return
             # (A3/A5) event-level metrics: consumed counts by class + max
             # replication delay, excluding ROTATE's ts=0 (CHANGES.txt:58-61)
             stats = batch.groupBy("_class").agg(
@@ -134,11 +138,18 @@ class ApplyJob:
 
     # -- wiring -----------------------------------------------------------------
     def stream(self) -> DataFrame:
-        return (
+        s = (
             self.spark.readStream.schema(EVENT_SCHEMA)
             .option("maxFilesPerTrigger", self.cfg.max_files_per_trigger)
             .parquet(self.binlog_dir)
         )
+        if self.cfg.buffer_transactions:
+            # v2 path: cross-batch uuidBuffer — epoch files may split
+            # transactions; only COMMITted transactions reach the sink
+            from mysql_time_machine_spark.streaming.txn_buffer import buffer_transactions
+
+            s = buffer_transactions(s)
+        return s
 
     def run_available(self, timeout_sec: int = 600) -> None:
         """Consume everything currently in the binlog dir, then stop —
