@@ -122,6 +122,16 @@ class ManifestParquetSink(Sink):
         reduced to a manifest lookup + Parquet scan."""
         return self.read(snapshot_id=snapshot_id)
 
+    def snapshot_as_of_gtid(self, gtid_seq: int) -> DataFrame:
+        """Read the table as of a binlog position: the latest committed
+        snapshot whose max applied gtid_seq <= the bound — the
+        `TIMESTAMP AS OF` analogue keyed on the stream's own clock."""
+        best = 0
+        for m in self.snapshots():
+            if m["max_gtid_seq"] <= gtid_seq:
+                best = m["snapshot_id"]
+        return self.read(snapshot_id=best)
+
     def snapshots(self) -> list[dict[str, Any]]:
         out = []
         cur: dict | None = self.current_manifest()

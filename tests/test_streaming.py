@@ -148,6 +148,19 @@ def test_time_travel_snapshot_as_of(completed, spark, binlog_dir, small_log):
     assert got["content_sha256"].tolist() == exp["content_sha256"].tolist()
 
 
+def test_time_travel_by_gtid(completed, small_log):
+    """As-of-binlog-position read: latest snapshot fully applied at or
+    before the bound."""
+    _, sink = completed
+    snaps = sink.snapshots()[1:]
+    mid = snaps[len(snaps) // 2]
+    got = sink.snapshot_as_of_gtid(mid["max_gtid_seq"])
+    exact = sink.snapshot_as_of(mid["snapshot_id"])
+    assert got.count() == exact.count()
+    # a bound below every commit returns the empty initial snapshot
+    assert sink.snapshot_as_of_gtid(-1).count() == 0
+
+
 def test_lineage_reconciliation(completed, small_log):
     """Sum of per-epoch consumed-event counters == generator-side emitted
     totals (mirrors CHANGES.txt:113-116,124: counters must not lose
