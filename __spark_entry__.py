@@ -249,6 +249,13 @@ def _dedup_simhash(spark, sf_dir):
     return docs.select("doc_id", simhash("text").alias("simhash32"))
 
 
+def _dedup_simhash_pairs(spark, sf_dir):
+    from mysql_time_machine_spark.operators.dedup import simhash_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=4)
+
+
 def _dedup_embedding(spark, sf_dir):
     from mysql_time_machine_spark.operators.dedup import embedding_dup_pairs
 
@@ -338,6 +345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
+        "dedup_simhash_pairs": _dedup_simhash_pairs,
         "dedup_embedding": _dedup_embedding,
         "sim_bruteforce_topk": _sim_bruteforce_topk,
         "sim_ivf_assign": _sim_ivf_assign,
@@ -483,7 +491,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "p10_salt_key": """
             SELECT event_id,
-                   substr(md5(user_id || ';' || event_type), 1, 4) || ';' ||
+                   substr(md5(user_id || ';' || event_type), 1, 8) || ';' ||
                    user_id || ';' || event_type AS salted_key
             FROM events
         """,
@@ -579,6 +587,15 @@ def oracle_sql() -> dict[str, str]:
                   greatest(len(list_distinct(list_concat(a_sh, b_sh))), 1) >= 0.2
         """,
         "dedup_simhash": f"SELECT doc_id, {_sql_simhash()} AS simhash32 FROM documents",
+        # the oracle is intentionally the naive quadratic join — it checks
+        # the banded Spark plan finds EXACTLY the same pairs
+        "dedup_simhash_pairs": f"""
+            WITH h AS (SELECT doc_id AS id, lang, {_sql_simhash()} AS h FROM documents)
+            SELECT a.id AS a_id, b.id AS b_id,
+                   bit_count(xor(a.h, b.h)) AS hamming
+            FROM h a JOIN h b ON a.lang = b.lang AND a.id < b.id
+            WHERE bit_count(xor(a.h, b.h)) <= 4
+        """,
         "dedup_embedding": f"""
             SELECT a.vec_id AS a_id, b.vec_id AS b_id,
                    round({_cos("a.embedding", "b.embedding")}, 6) AS cos

@@ -11,10 +11,11 @@ from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
 # P10 — row-key salting.
-# Reference spec: salt = first 4 hex chars of md5(pk), joined with ';'
-# (/root/reference/CHANGES.txt:102-104). We reproduce the byte-exact salted
-# key for fidelity, but use it as a *shuffle/bucket* key, never a stored key:
-# in Spark, salting is physical (partitioning), not logical.
+# Reference spec: salt = first 4 BYTES of md5(pk) — 8 hex chars — joined
+# with ';' (/root/reference/CHANGES.txt:102-104). We reproduce the
+# byte-exact salted key for fidelity, but use it as a *shuffle/bucket* key,
+# never a stored key: in Spark, salting is physical (partitioning), not
+# logical.
 # ---------------------------------------------------------------------------
 
 
@@ -25,9 +26,10 @@ def pk_concat(repo: Column | str = "repo", path: Column | str = "path") -> Colum
 
 
 def salt_key(repo: Column | str = "repo", path: Column | str = "path") -> Column:
-    """``first-4-hex(md5(pk)) ; pk`` — byte-identical to CHANGES.txt:102-104."""
+    """``first-4-BYTES(md5(pk)) ; pk`` (8 hex chars) — byte-identical to
+    CHANGES.txt:102-104 ("first four bytes of row key MD5 hash")."""
     pk = pk_concat(repo, path)
-    return F.concat(F.substring(F.md5(pk), 1, 4), F.lit(";"), pk)
+    return F.concat(F.substring(F.md5(pk), 1, 8), F.lit(";"), pk)
 
 
 def salted_shuffle_key(n_buckets: int, repo: Column | str = "repo", path: Column | str = "path") -> Column:

@@ -17,7 +17,7 @@ Two strategies, one answer shape (vec_id, score):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from mysql_time_machine_spark.functions.similarity import cosine, lit_vec
@@ -46,18 +46,27 @@ def assign_centroids(
 ) -> DataFrame:
     """Stage 0: centroid assignment. Centroids = first nlist vectors by id
     (deterministic; production would use k-means). Broadcast cross-join +
-    argmin — nlist is tiny, the join is map-side."""
+    argmin — nlist is tiny, the join is map-side.
+
+    The argmin is ``groupBy(id).agg(max_by(...))`` — map-side combinable
+    partial aggregation, so the exchange carries ONE row per vector instead
+    of nlist scored candidates (and no Sort/Window at all). Tie-break is
+    (highest cscore, lowest centroid_id), encoded as max over the ordering
+    struct (cscore, -centroid_id)."""
     cents = embeddings.where(F.col(id_col) < nlist).select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec")
     )
     scored = embeddings.crossJoin(F.broadcast(cents)).withColumn(
         "cscore", cosine(F.col(vec_col), F.col("centroid_vec"))
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("cscore"), F.col("centroid_id"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select(id_col, vec_col, "centroid_id")
+    best = scored.groupBy(id_col).agg(
+        F.max_by(
+            F.struct(F.col(vec_col).alias("v"), F.col("centroid_id").alias("cid")),
+            F.struct(F.col("cscore").alias("s"), (-F.col("centroid_id")).alias("tb")),
+        ).alias("b")
+    )
+    return best.select(
+        F.col(id_col), F.col("b.v").alias(vec_col), F.col("b.cid").alias("centroid_id")
     )
 
 

@@ -11,17 +11,26 @@ Five strategies, cheapest-first — the standard web-corpus dedup ladder:
 
 Scale notes (the part that matters at 100 TB):
 - 1/2 are single-shuffle groupBys with map-side partial aggregation.
-- 3 never goes quadratic: the self-join is blocked on (lang, length
-  bucket) so candidate pairs stay bounded per block.
+- 3 never goes quadratic: candidates come from an EQUI-join on
+  (block_cols, length-bucket) — the probe side explodes each doc into its
+  3 adjacent buckets, so Catalyst hash/SMJ-joins on the bucket key instead
+  of scanning all pairs within a language block.
 - 4 is the linear-time path: K minhashes per doc (one projection), bands
   of R hashes bucket-join candidates; only bucket collisions are verified.
   Hash fn is md5(seed || shingle) so the DuckDB oracle can reproduce it
   bit-for-bit (xxhash64 would be faster but is not portable to the gate).
-- 5 compresses each doc to one 60-bit integer; near-dup = small Hamming
-  distance, verified with bit_count(xor) — both Spark and DuckDB builtins.
+- 5 compresses each doc to one 32-bit integer; near-dup = small Hamming
+  distance. Pair generation uses PIGEONHOLE banding: the fingerprint is
+  split into (max_hamming + 1) bit-chunks, and any pair within Hamming
+  <= max_hamming must agree on at least one chunk — so candidates come
+  from an equi-join on (chunk_idx, chunk_value), verified with
+  bit_count(xor) (both Spark and DuckDB builtins). Same shape as the
+  MinHash LSH join; never all-pairs.
 """
 
 from __future__ import annotations
+
+import tempfile
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -78,9 +87,14 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Candidate near-dup pairs (a_id < b_id) with their Jaccard similarity.
 
-    Blocking: same block_cols + same-or-adjacent length bucket. The
-    quadratic blow-up is bounded per block; at corpus scale you shrink
-    ``length_bucket`` / add block columns rather than widen the join.
+    Blocking: same block_cols + same-or-adjacent length bucket, expressed
+    as an EQUI-join: the a-side explodes each doc into its three probe
+    buckets [lb-1, lb, lb+1] and joins b on (block_cols, bucket). Each
+    qualifying pair matches exactly once (the probe values are distinct),
+    so no distinct pass is needed. Catalyst sees equi keys and plans a
+    hash/sort-merge join — candidate enumeration is linear in the bucket
+    co-membership, never O(n^2) within a block. At corpus scale you shrink
+    ``length_bucket`` / add block columns to tighten the buckets further.
     """
     base = docs.select(
         F.col(id_col).alias("id"),
@@ -90,19 +104,21 @@ def ngram_jaccard_pairs(
     )
     a = base.select(
         F.col("id").alias("a_id"), *[F.col(c).alias(f"a_{c}") for c in block_cols],
-        F.col("sh").alias("a_sh"), F.col("lb").alias("a_lb"),
+        F.col("sh").alias("a_sh"),
+        F.explode(F.array(F.col("lb") - 1, F.col("lb"), F.col("lb") + 1)).alias("a_plb"),
     )
     b = base.select(
         F.col("id").alias("b_id"), *[F.col(c).alias(f"b_{c}") for c in block_cols],
         F.col("sh").alias("b_sh"), F.col("lb").alias("b_lb"),
     )
-    cond = (F.col("a_id") < F.col("b_id")) & (F.abs(F.col("a_lb") - F.col("b_lb")) <= 1)
+    cond = F.col("a_plb") == F.col("b_lb")
     for c in block_cols:
         cond = cond & (F.col(f"a_{c}") == F.col(f"b_{c}"))
     inter = F.size(F.array_intersect("a_sh", "b_sh"))
     union = F.size(F.array_union("a_sh", "b_sh"))
     return (
         a.join(b, cond)
+        .where(F.col("a_id") < F.col("b_id"))
         .select(
             "a_id", "b_id",
             (inter / F.greatest(union, F.lit(1))).cast("double").alias("jaccard"),
@@ -140,12 +156,20 @@ def minhash_lsh_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    staging_dir: str | None = None,
 ) -> DataFrame:
     """Near-dup pairs via banded LSH, verified with true shingle Jaccard.
 
     rows-per-band R = n_hashes/bands; collision prob ≈ 1-(1-j^R)^bands.
     Candidates come from an equi-join on (band, band-hash) — a plain
     shuffle join, no quadratic scan anywhere.
+
+    Cache lifecycle: the (id, shingles, signature) projection is persisted
+    only for the duration of THIS call — the verified pair table (tiny vs
+    the corpus) is staged to ``staging_dir`` (a temp dir by default; on a
+    real cluster pass a shared path, e.g. HDFS/S3) and the cache is
+    released before returning, so no executor memory stays pinned after
+    the operator completes.
     """
     rows_per_band = n_hashes // bands
     # materialize shingles ONCE; the k hash passes then transform the
@@ -200,10 +224,19 @@ def minhash_lsh_pairs(
     )
     inter = F.size(F.array_intersect("a_sh", "b_sh"))
     union = F.size(F.array_union("a_sh", "b_sh"))
-    return verified.select(
+    out = verified.select(
         "a_id", "b_id",
         (inter / F.greatest(union, F.lit(1))).cast("double").alias("jaccard"),
     ).where(F.col("jaccard") >= threshold)
+    # materialize the (small) verified pair table, then drop the signature
+    # cache — one computation of the shingle/signature projection total,
+    # zero cached RDDs left behind
+    stage = staging_dir or tempfile.mkdtemp(prefix="mtm_lsh_pairs_")
+    try:
+        out.write.mode("overwrite").parquet(stage)
+    finally:
+        sig.unpersist()
+    return docs.sparkSession.read.parquet(stage)
 
 
 # ---------------------------------------------------------------------------
@@ -234,6 +267,18 @@ def simhash(text_col: str) -> F.Column:
     return out
 
 
+def _simhash_chunks(h: F.Column, n_chunks: int) -> list[F.Column]:
+    """Split a SIMHASH_BITS fingerprint into n_chunks contiguous bit-chunks
+    (widths as even as possible)."""
+    base_w, rem = divmod(SIMHASH_BITS, n_chunks)
+    chunks, off = [], 0
+    for i in range(n_chunks):
+        w = base_w + (1 if i < rem else 0)
+        chunks.append(F.shiftright(h, off).bitwiseAND(F.lit((1 << w) - 1)))
+        off += w
+    return chunks
+
+
 def simhash_pairs(
     docs: DataFrame,
     max_hamming: int = 3,
@@ -241,19 +286,52 @@ def simhash_pairs(
     id_col: str = "doc_id",
     block_cols: tuple[str, ...] = ("lang",),
 ) -> DataFrame:
-    """Near-dup pairs where hamming(simhash_a, simhash_b) <= max_hamming,
-    blocked like ngram_jaccard_pairs to bound the join."""
+    """Near-dup pairs where hamming(simhash_a, simhash_b) <= max_hamming.
+
+    Pigeonhole banding: the fingerprint is split into (max_hamming + 1)
+    bit-chunks; two fingerprints within Hamming distance max_hamming differ
+    in at most max_hamming chunks, so they MUST agree on at least one —
+    candidates therefore come from an equi-join on (chunk_idx, chunk_value)
+    (plus block_cols), exactly the MinHash-LSH join shape. A pair can
+    collide on several chunks, so candidates are deduped before the
+    bit_count(xor) verification. Never an all-pairs scan.
+    """
+    n_chunks = max_hamming + 1
     base = docs.select(
-        F.col(id_col).alias("id"), *[F.col(c) for c in block_cols], simhash(text_col).alias("sh64")
+        F.col(id_col).alias("id"), *[F.col(c) for c in block_cols], simhash(text_col).alias("h")
     )
-    a = base.select(F.col("id").alias("a_id"), *[F.col(c).alias(f"a_{c}") for c in block_cols], F.col("sh64").alias("a_h"))
-    b = base.select(F.col("id").alias("b_id"), *[F.col(c).alias(f"b_{c}") for c in block_cols], F.col("sh64").alias("b_h"))
-    cond = F.col("a_id") < F.col("b_id")
+    chunked = base.select(
+        "id", *block_cols, "h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("ci"), cv.alias("cv"))
+                    for i, cv in enumerate(_simhash_chunks(F.col("h"), n_chunks))
+                ]
+            )
+        ).alias("c"),
+    ).select("id", *block_cols, "h", "c.ci", "c.cv")
+    a = chunked.select(
+        F.col("id").alias("a_id"), *[F.col(c).alias(f"a_{c}") for c in block_cols],
+        F.col("h").alias("a_h"), "ci", "cv",
+    )
+    b = chunked.select(
+        F.col("id").alias("b_id"), *[F.col(c).alias(f"b_{c}") for c in block_cols],
+        F.col("h").alias("b_h"), "ci", "cv",
+    )
+    cond = F.col("a.ci") == F.col("b.ci")
+    cond = cond & (F.col("a.cv") == F.col("b.cv"))
     for c in block_cols:
         cond = cond & (F.col(f"a_{c}") == F.col(f"b_{c}"))
+    cand = (
+        a.alias("a")
+        .join(b.alias("b"), cond)
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_h", "b_h")
+        .distinct()
+    )
     return (
-        a.join(b, cond)
-        .select(
+        cand.select(
             "a_id", "b_id",
             F.bit_count(F.col("a_h").bitwiseXOR(F.col("b_h"))).alias("hamming"),
         )

@@ -22,11 +22,12 @@ from mysql_time_machine_spark.functions import (
 
 
 def test_salt_key_matches_reference_spec(spark):
-    """salt = first 4 hex of md5(pk), joined with ';' (CHANGES.txt:102-104)."""
+    """salt = first 4 BYTES (8 hex chars) of md5(pk), joined with ';'
+    (CHANGES.txt:102-104)."""
     df = spark.createDataFrame([Row(repo="org1", path="src/a.py")])
     got = df.select(salt_key().alias("k")).head()["k"]
     pk = "org1;src/a.py"
-    expected = hashlib.md5(pk.encode()).hexdigest()[:4] + ";" + pk
+    expected = hashlib.md5(pk.encode()).hexdigest()[:8] + ";" + pk
     assert got == expected
 
 
