@@ -15,6 +15,20 @@ Fold semantics per key (repo, path), in ascending
                                            CHANGES.txt:173)
   D : image := tombstone                  (key-only, CHANGES.txt:184)
 
+Collapsed output carries TWO markers the sink consumes:
+
+* ``row_status`` — the reference's d:row_status cell (CHANGES.txt:174-175):
+  the op type of the key's LAST event (I/U/D), a lineage column on the
+  target table.
+* ``full_image`` — how the sink must APPLY the image: true means the image
+  is the complete row state (the epoch contained a reset I or D, so the
+  post-reset fold supersedes everything stored) and must REPLACE the
+  stored row; false means the image is a partial cell set to merge
+  cell-wise. Merging a post-reset image onto the stored pre-reset row
+  would resurrect stale cells (deleted-then-partially-updated keys, or
+  post-I images that legitimately lack a column). Relies on the binlog
+  invariant that I events carry full post-images.
+
 Two interchangeable implementations (equality is a test invariant):
 
 * ``collapse_events_pandas`` — grouped-map ``applyInPandas``; groups are
@@ -50,6 +64,7 @@ COLLAPSED_SCHEMA = T.StructType(
         T.StructField("path", T.StringType(), False),
         T.StructField("row_status", T.StringType(), False),
         T.StructField("image", T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField("full_image", T.BooleanType(), False),
         T.StructField("gtid_seq", T.LongType(), True),
         T.StructField("schema_version", T.IntegerType(), True),
         T.StructField("updated_ts", T.TimestampType(), True),
@@ -84,6 +99,15 @@ def live_events(events: DataFrame) -> DataFrame:
         .where(F.col("_lr").isNull() | (F.col("_ord") >= F.col("_lr")))
         .drop("_lr")
     )
+
+
+def _full_image_flags(pdf: pd.DataFrame, meta: pd.DataFrame) -> "pd.Series":
+    """full_image per key: true iff ANY surviving event is a reset (I or D)
+    — the collapsed image is then the complete post-reset row state and the
+    sink must replace, not cell-merge."""
+    resets = pdf.loc[pdf["op"].isin(["I", "D"]), ["repo", "path"]].drop_duplicates()
+    flagged = meta.merge(resets.assign(_hr=True), on=["repo", "path"], how="left")
+    return flagged["_hr"].notna().to_numpy()
 
 
 def _collapse_bucket_flat(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -125,6 +149,7 @@ def _collapse_bucket_flat(pdf: pd.DataFrame) -> pd.DataFrame:
             None if op == "D" else images.get((r, p), {})
             for r, p, op in zip(meta["repo"].to_numpy(), meta["path"].to_numpy(), meta["op"].to_numpy())
         ],
+        "full_image": _full_image_flags(pdf, meta),
         "gtid_seq": meta["gtid_seq"].to_numpy(),
         "schema_version": meta["schema_version"].to_numpy(),
         "updated_ts": meta["ts"].to_numpy(),
@@ -228,6 +253,7 @@ def _collapse_sorted_flat(pdf: pd.DataFrame) -> pd.DataFrame:
             None if op == "D" else images.get((r, p), {})
             for r, p, op in zip(meta["repo"].to_numpy(), meta["path"].to_numpy(), meta["op"].to_numpy())
         ],
+        "full_image": _full_image_flags(pdf, meta),
         "gtid_seq": meta["gtid_seq"].to_numpy(),
         "schema_version": meta["schema_version"].to_numpy(),
         "updated_ts": meta["ts"].to_numpy(),
@@ -283,8 +309,11 @@ def collapse_events_sql(events: DataFrame) -> DataFrame:
         .select(
             "repo",
             "path",
-            F.when(F.col("_last.op") == "D", F.lit("D")).otherwise(F.col("_last.op")).alias("row_status"),
+            F.col("_last.op").alias("row_status"),
             F.when(F.col("_last.op") == "D", F.lit(None).cast("map<string,string>")).otherwise(F.col("image")).alias("image"),
+            # a surviving I/D means the image is the FULL post-reset row
+            # state: the sink replaces instead of cell-merging
+            F.col("_last_reset").isNotNull().alias("full_image"),
             F.col("_last.gtid_seq").alias("gtid_seq"),
             F.col("_last.schema_version").alias("schema_version"),
             F.col("_last.ts").alias("updated_ts"),

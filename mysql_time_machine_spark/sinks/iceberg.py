@@ -7,19 +7,44 @@ Maps the reference applier (/root/reference/README.md:18-20) onto Iceberg:
   HBase versioned puts      -> MERGE INTO + snapshot history
   daily-changes yyyymmdd    -> changelog table, hidden partitioning days(ts)
   schema history table      -> ALTER TABLE ... ADD COLUMN + snapshot schema
-  safe checkpoint (pGTID)   -> fence table row per (job, epoch), committed
-                               in the same Spark action as the MERGE
+  safe checkpoint (pGTID)   -> fence table row per (job, epoch)
   hbase-snapshotter         -> VERSION AS OF / TIMESTAMP AS OF reads
+
+Commit protocol (Iceberg commits are atomic per TABLE, not across tables,
+so exactly-once is fence-LAST + idempotent-replay):
+
+  1. MERGE INTO target        — idempotent: per-key gtid guard means a
+                                replayed batch re-applies the same values
+  2. changelog delete+append  — idempotent per epoch: rows carry epoch_id
+                                and the epoch's rows are deleted first
+  3. fence append             — LAST; its presence marks the epoch done
+
+A crash between any two steps replays the epoch on restart (fence row
+absent), and steps 1-2 re-run without duplication. The MERGE's matched
+semantics come from ``merge_logic`` — the SAME clause builder the
+ManifestParquetSink equivalence test exercises — so the two sinks cannot
+silently diverge: full_image rows replace the whole row (a NULL cell in
+the image really becomes NULL), partial rows update exactly the cells
+present in the image map (a cell may be SET to NULL; absent cells keep
+their value).
 """
 
 from __future__ import annotations
 
+import json
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mysql_time_machine_spark.sinks.base import Sink
+from mysql_time_machine_spark.sinks.merge_logic import (
+    MATCHED_DELETE_COND,
+    MATCHED_UPDATE_COND,
+    NOT_MATCHED_INSERT_COND,
+    iceberg_matched_set_sql,
+    materialize_batch,
+)
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -61,36 +86,51 @@ class IcebergSink(Sink):
             if name not in existing:
                 self.spark.sql(f"ALTER TABLE {self.table} ADD COLUMN {name} {typ[t]}")
 
+    def _business_columns(self) -> list[tuple[str, str]]:
+        skip = {"repo", "path", "row_status", "gtid_seq", "schema_version", "updated_ts"}
+        rev = {"string": "string", "bigint": "long", "int": "int", "timestamp": "timestamp", "double": "double"}
+        return [
+            (f.name, rev[f.dataType.simpleString()])
+            for f in self.spark.table(self.table).schema.fields
+            if f.name not in skip
+        ]
+
     def merge(self, batch: DataFrame, epoch_id: int, lineage: dict[str, Any] | None = None, changelog: DataFrame | None = None) -> bool:
         if epoch_id <= self.last_epoch():
             return False  # fenced
 
-        cols = [c for c in self.spark.table(self.table).columns if c not in ("repo", "path")]
-        # materialize the collapsed image onto the live schema
-        mat = batch.select(
-            "repo", "path", "row_status", "gtid_seq", "schema_version", "updated_ts",
-            *[F.element_at("image", c).alias(c) for c in cols if c not in
-              ("row_status", "gtid_seq", "schema_version", "updated_ts")],
-        )
-        mat.createOrReplaceTempView("_mtm_batch")
-        set_cols = [c for c in cols]
+        business_columns = self._business_columns()
+        # batch view keeps the raw image map alongside materialized cells:
+        # the matched-set CASEs test map_contains_key to distinguish
+        # "cell set to NULL" from "cell absent from this partial update"
+        materialize_batch(batch, business_columns).createOrReplaceTempView("_mtm_batch")
+
+        insert_cols = ["repo", "path", "row_status", "gtid_seq", "schema_version", "updated_ts"] + [
+            c for c, _ in business_columns
+        ]
         self.spark.sql(
             f"""
             MERGE INTO {self.table} t
             USING _mtm_batch b
             ON t.repo = b.repo AND t.path = b.path
-            WHEN MATCHED AND b.row_status = 'D' AND b.gtid_seq >= t.gtid_seq THEN DELETE
-            WHEN MATCHED AND b.gtid_seq >= t.gtid_seq THEN UPDATE SET
-              {', '.join(f't.{c} = coalesce(b.{c}, t.{c})' if c not in ('row_status','gtid_seq','schema_version','updated_ts') else f't.{c} = b.{c}' for c in set_cols)}
-            WHEN NOT MATCHED AND b.row_status != 'D' THEN INSERT *
+            WHEN MATCHED AND {MATCHED_DELETE_COND} THEN DELETE
+            WHEN MATCHED AND {MATCHED_UPDATE_COND} THEN UPDATE SET
+              {iceberg_matched_set_sql(business_columns)}
+            WHEN NOT MATCHED AND {NOT_MATCHED_INSERT_COND} THEN
+              INSERT ({', '.join(insert_cols)})
+              VALUES ({', '.join('b.' + c for c in insert_cols)})
             """
         )
         if changelog is not None:
-            changelog.writeTo(f"{self.table}_changelog").append()
-        import json as _json
+            # idempotent per epoch: a replay deletes this epoch's rows first
+            cl = changelog.withColumn("epoch_id", F.lit(epoch_id).cast("long"))
+            self.spark.sql(f"DELETE FROM {self.table}_changelog WHERE epoch_id = {epoch_id}")
+            cl.writeTo(f"{self.table}_changelog").append()
 
+        # fence LAST: only after target + changelog are durable does the
+        # epoch count as committed; anything before this replays cleanly
         self.spark.createDataFrame(
-            [(self.job_id, epoch_id, None, _json.dumps(lineage or {}))],
+            [(self.job_id, epoch_id, None, json.dumps(lineage or {}))],
             "job_id string, epoch_id long, max_gtid_seq long, lineage string",
         ).writeTo(self.fence_table).append()
         return True

@@ -191,6 +191,15 @@ class ManifestParquetSink(Sink):
         matched & 'I' -> replace; not matched & not 'D' -> INSERT.
         Bucket-granular copy-on-write; idempotent per epoch (fence).
 
+        Semantics contract with the collapse kernels (merge_logic.py):
+        ``full_image`` = true means the image is the COMPLETE row state
+        (the key's epoch contained a reset I/D), so it replaces the stored
+        image verbatim — absent cells become NULL. full_image = false
+        images are guaranteed reset-free partial cell sets, so map_concat
+        cell-merge is exact; a cell explicitly set to NULL is present in
+        the map with a NULL value and wins over the old cell. row_status
+        stays the reference's last-op marker (CHANGES.txt:174-175).
+
         ``batch`` is COLLAPSED form: (repo, path, row_status, image,
         gtid_seq, schema_version, updated_ts) — one row per key.
         ``changelog`` (optional) is appended in the SAME atomic commit —
@@ -256,7 +265,7 @@ class ManifestParquetSink(Sink):
                     .where(F.col("_old_gtid").isNull() | (F.col("_old_gtid") <= F.col("gtid_seq")))
                     .withColumn(
                         "image",
-                        F.when(F.col("row_status") == "I", F.col("image"))
+                        F.when(F.col("full_image"), F.col("image"))
                         .when(F.col("_old_image").isNull(), F.col("image"))
                         .otherwise(F.map_concat(F.col("_old_image"), F.col("image"))),
                     )

@@ -1,0 +1,159 @@
+"""Sink-agnostic MERGE semantics (SURVEY.md §2.4 J1) — one clause builder,
+three implementations, identical tables.
+
+The IcebergSink is jar-gated in this sandbox, so its MERGE INTO SQL cannot
+run against a real catalog here. Instead, ``simulate_merge`` replays the
+SAME condition/assignment SQL fragments (merge_logic.py) as a DataFrame
+full-outer join, and these tests assert the ManifestParquetSink produces
+the identical post-merge table — covering the round-1 divergence: a
+matched 'I' row with a legitimately-NULL cell must fully replace the
+stored row (not cell-coalesce), and a 'U' cell explicitly set to NULL must
+become NULL."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from mysql_time_machine_spark.operators.reassemble import (
+    COLLAPSED_SCHEMA,
+    collapse_events_pandas,
+    collapse_events_sorted,
+    collapse_events_sql,
+)
+from mysql_time_machine_spark.sinks.manifest import ManifestParquetSink
+from mysql_time_machine_spark.sinks.merge_logic import simulate_merge
+
+COLS = [("commit", "string"), ("lang", "string"), ("content", "string")]
+TS = dt.datetime(2024, 1, 1)
+
+
+def _collapsed(spark, rows):
+    return spark.createDataFrame(
+        [Row(repo=r, path=p, row_status=s, image=img, full_image=fi, gtid_seq=g,
+             schema_version=1, updated_ts=TS)
+         for (r, p, s, img, fi, g) in rows],
+        COLLAPSED_SCHEMA,
+    )
+
+
+def _seed_rows():
+    """Epoch-1 batch: full images for four keys."""
+    return [
+        ("o", f"k{i}", "I", {"commit": f"c{i}", "lang": "py", "content": f"body{i}"}, True, 10)
+        for i in range(1, 6)
+    ]
+
+
+def _test_batch():
+    """Epoch-2 batch exercising every MERGE branch."""
+    return [
+        # matched full-image whose image LACKS content -> replace, content NULL
+        ("o", "k1", "I", {"commit": "c1b", "lang": "go"}, True, 20),
+        # matched partial 'U' -> only lang changes
+        ("o", "k2", "U", {"lang": "rs"}, False, 20),
+        # matched 'U' with a cell EXPLICITLY set to NULL -> content NULL, rest kept
+        ("o", "k3", "U", {"content": None}, False, 20),
+        # matched 'D' -> row gone
+        ("o", "k4", "D", None, True, 20),
+        # STALE matched update (gtid below stored) -> no-op
+        ("o", "k5", "U", {"lang": "stale"}, False, 5),
+        # unmatched 'I' -> insert
+        ("o", "k9", "I", {"commit": "c9", "lang": "py", "content": "body9"}, True, 20),
+        # unmatched 'D' -> no-op
+        ("o", "k10", "D", None, True, 20),
+    ]
+
+
+def _canon(df):
+    cols = sorted(df.columns)
+    return sorted([tuple(str(row[c]) for c in cols) for row in df.collect()])
+
+
+def test_manifest_merge_matches_shared_clause_simulation(spark, tmp_path):
+    seed = _collapsed(spark, _seed_rows())
+    batch = _collapsed(spark, _test_batch())
+
+    sink = ManifestParquetSink(spark, str(tmp_path / "sink"), business_columns=COLS, n_buckets=4)
+    assert sink.merge(seed, epoch_id=1)
+    target_state = sink.read()
+    assert sink.merge(batch, epoch_id=2)
+    got = sink.read()
+
+    expected = simulate_merge(target_state, batch, COLS)
+
+    assert _canon(got) == _canon(expected)
+    # spot-check the round-1 divergence cases directly
+    rows = {r["path"]: r for r in got.collect()}
+    assert rows["k1"]["content"] is None and rows["k1"]["lang"] == "go"  # I = full replace
+    assert rows["k2"]["lang"] == "rs" and rows["k2"]["content"] == "body2"  # U = cell merge
+    assert rows["k3"]["content"] is None and rows["k3"]["commit"] == "c3"  # U null cell
+    assert "k4" not in rows and "k10" not in rows
+    assert rows["k5"]["lang"] == "py"  # stale fenced
+    assert rows["k9"]["commit"] == "c9"
+
+
+def _ev(repo, path, op, after, gtid, seq=0):
+    return Row(
+        log_file="binlog.000001", log_pos=gtid, gtid=f"u:{gtid}", gtid_seq=gtid,
+        txn_id=gtid, seq_in_txn=seq, server_id=1,
+        ts=TS + dt.timedelta(seconds=gtid), op=op, schema_version=1,
+        repo=repo, path=path, before=None, after=after, ddl=None,
+    )
+
+
+def test_full_image_flag_all_kernels(spark):
+    """A key whose epoch contains a reset (I or D) collapses with
+    full_image=true (the image is the complete post-reset state, so the
+    sink replaces instead of merging stale pre-reset cells); row_status
+    stays the reference's last-op marker."""
+    from mysql_time_machine_spark.schema import EVENT_SCHEMA
+
+    events = spark.createDataFrame(
+        [
+            # k1: D then U -> resurrection; image = U cells only, full_image
+            _ev("o", "k1", "D", None, 11),
+            _ev("o", "k1", "U", {"lang": "res"}, 12),
+            # k2: I then U -> full_image, image = I overlaid with U
+            _ev("o", "k2", "I", {"commit": "c", "lang": "py"}, 13),
+            _ev("o", "k2", "U", {"lang": "go"}, 14),
+            # k3: pure U -> partial
+            _ev("o", "k3", "U", {"lang": "u"}, 15),
+            # k4: U then D -> delete
+            _ev("o", "k4", "U", {"lang": "x"}, 16),
+            _ev("o", "k4", "D", None, 17),
+        ],
+        EVENT_SCHEMA,
+    )
+    for impl in (collapse_events_pandas, collapse_events_sorted, collapse_events_sql):
+        got = {r["path"]: r for r in impl(events).collect()}
+        assert got["k1"]["row_status"] == "U" and got["k1"]["full_image"], impl
+        assert got["k1"]["image"] == {"lang": "res"}
+        assert got["k2"]["row_status"] == "U" and got["k2"]["full_image"]
+        assert got["k2"]["image"] == {"commit": "c", "lang": "go"}
+        assert got["k3"]["row_status"] == "U" and not got["k3"]["full_image"]
+        assert got["k4"]["row_status"] == "D" and got["k4"]["image"] is None
+
+
+def test_delete_then_update_does_not_resurrect_old_cells(spark, tmp_path):
+    """End-to-end: stored row {commit,lang,content}; next epoch deletes the
+    key then partially updates it. The final row must carry ONLY the
+    post-delete cells — pre-delete cells must not leak through the merge."""
+    from mysql_time_machine_spark.schema import EVENT_SCHEMA
+
+    sink = ManifestParquetSink(spark, str(tmp_path / "sink2"), business_columns=COLS, n_buckets=4)
+    seed = _collapsed(
+        spark, [("o", "k1", "I", {"commit": "old", "lang": "old", "content": "old"}, True, 10)]
+    )
+    assert sink.merge(seed, epoch_id=1)
+
+    events = spark.createDataFrame(
+        [_ev("o", "k1", "D", None, 20), _ev("o", "k1", "U", {"lang": "new"}, 21)],
+        EVENT_SCHEMA,
+    )
+    assert sink.merge(collapse_events_pandas(events), epoch_id=2)
+    row = sink.read().where(F.col("path") == "k1").head()
+    assert row["lang"] == "new"
+    assert row["commit"] is None and row["content"] is None  # no resurrection
