@@ -32,9 +32,13 @@ class EngineConfig:
     target_buckets: int = 16
     #: shuffle partitions for the reassembly groupBy
     shuffle_partitions: int = 32
-    #: sub-salt split factor for hot keys inside one micro-batch: a single
-    #: (repo, path) group larger than this row count is pre-collapsed per
-    #: sub-salt before the final per-key collapse (two-stage aggregate)
+    #: hot-key two-stage collapse (streaming pandas path): a key with more
+    #: than this many surviving event-cells in one micro-batch is
+    #: sub-salted and partially collapsed per sub-salt before the final
+    #: per-key collapse. Detection runs on the (cached) micro-batch, so it
+    #: costs one cheap aggregate per epoch. 0 disables.
+    hot_key_threshold: int = 500_000
+    #: sub-salt fan-out for detected hot keys (slices per hot key)
     hot_key_split: int = 8
 
     # --- sink behaviour ----------------------------------------------------

@@ -157,13 +157,85 @@ def _collapse_bucket_flat(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(out, columns=cols)
 
 
-def collapse_events_pandas(events: DataFrame, n_buckets: int = 64) -> DataFrame:
+#: flattened live-event schema shipped over the Arrow boundary (stage-1
+#: partial collapse emits the same shape it consumes)
+FLAT_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("schema_version", T.IntegerType(), True),
+        T.StructField("gtid_seq", T.LongType(), True),
+        T.StructField("log_file", T.StringType(), False),
+        T.StructField("log_pos", T.LongType(), False),
+        T.StructField("seq_in_txn", T.IntegerType(), True),
+        T.StructField("cell", T.StringType(), True),
+        T.StructField("value", T.StringType(), True),
+        T.StructField("_bucket", T.IntegerType(), False),
+    ]
+)
+
+_FLAT_COLS = [f.name for f in FLAT_SCHEMA.fields]
+
+
+def _partial_collapse_flat(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Stage-1 partial collapse of ONE (bucket, sub-salt) slice of a hot
+    key's flat live events. Emits a row-SUBSET in the same flat shape that
+    preserves everything the final collapse needs:
+
+    * the slice-local last write per (key, cell)  — the GLOBAL last write
+      per cell survives in whichever slice holds it;
+    * the slice-local last event per key          — ditto for the global
+      last event (row_status / lineage meta);
+    * the slice-local first event per key IF it is a reset (I/D) — so the
+      final stage still sees the (unique, live_events-guaranteed) reset
+      and sets full_image correctly even when every one of the reset's
+      cells was overwritten inside this slice.
+
+    The final stage re-runs global per-(key,cell) LWW over the union of
+    slice survivors, so keeping extra (stale-ordered) rows is harmless.
+    """
+    pdf = pdf.sort_values(ORDER_COLS, kind="mergesort")
+    last_cells = pdf[pdf["cell"].notna()].drop_duplicates(
+        subset=["repo", "path", "cell"], keep="last"
+    )
+    meta = pdf.drop_duplicates(subset=["repo", "path"], keep="last")
+    first = pdf.drop_duplicates(subset=["repo", "path"], keep="first")
+    resets = first[first["op"].isin(["I", "D"])]
+    out = pd.concat([last_cells, meta, resets], ignore_index=True).drop_duplicates(
+        subset=["repo", "path", "cell"] + ORDER_COLS
+    )
+    return out[_FLAT_COLS]
+
+
+def collapse_events_pandas(
+    events: DataFrame,
+    n_buckets: int = 64,
+    hot_keys: list[tuple[str, str]] | None = None,
+    hot_key_split: int = 8,
+    hot_key_threshold: int = 0,
+) -> DataFrame:
     """North-rule path: salted-bucket repartition + grouped-map applyInPandas.
 
     ``n_buckets`` is the shuffle-group count: the md5-salt of the key
     (CHANGES.txt:102-104) decides the bucket, so hot *keys* spread across
     the hash space like every other key, and one executor task handles one
     bucket's worth of keys in a single Arrow batch.
+
+    Hot-key two-stage collapse (the reference's salting story,
+    CHANGES.txt:102-104, at sub-key granularity): a key whose surviving
+    partial updates all share one bucket would otherwise have to fit a
+    single Arrow batch. Keys in ``hot_keys`` are SUB-SALTED on
+    pmod(xxhash64(order columns), hot_key_split); each (bucket, sub-salt)
+    slice is partially collapsed first (_partial_collapse_flat), then the
+    final per-bucket collapse merges the slice survivors — the classic
+    partial/final aggregate shape, exact because per-(key,cell) LWW is
+    order-max composable. ``hot_key_threshold`` > 0 self-detects hot keys
+    with one count aggregate over the live events (an extra Spark action:
+    cheap when ``events`` is a cached micro-batch — the streaming job's
+    case — but a full recompute otherwise, so batch replay passes
+    detection off and explicit ``hot_keys`` when known).
     """
     # column-prune BEFORE the shuffle + Arrow hop: only what the kernel reads
     # crosses the exchange and the JVM<->Python boundary ('before', gtid
@@ -181,6 +253,32 @@ def collapse_events_pandas(events: DataFrame, n_buckets: int = 64) -> DataFrame:
         F.explode_outer("after").alias("cell", "value"),
     )
     bucketed = flat.withColumn("_bucket", salted_shuffle_key(n_buckets))
+
+    if hot_keys is None and hot_key_threshold > 0:
+        hot_keys = [
+            (r["repo"], r["path"])
+            for r in bucketed.groupBy("repo", "path")
+            .count()
+            .where(F.col("count") > hot_key_threshold)
+            .collect()
+        ]
+    if hot_keys:
+        hot_set = [f"{r}\x00{p}" for r, p in hot_keys]
+        is_hot = F.concat_ws("\x00", F.col("repo"), F.col("path")).isin(hot_set)
+        sub = F.pmod(
+            F.xxhash64(*[F.col(c) for c in ORDER_COLS]), F.lit(hot_key_split)
+        ).cast("int")
+        partial = (
+            bucketed.where(is_hot)
+            .withColumn("_subsalt", sub)
+            .groupBy("_bucket", "_subsalt")
+            .applyInPandas(
+                lambda pdf: _partial_collapse_flat(pdf.drop(columns=["_subsalt"])),
+                FLAT_SCHEMA,
+            )
+        )
+        bucketed = bucketed.where(~is_hot).unionByName(partial)
+
     return (
         bucketed.groupBy("_bucket")
         .applyInPandas(lambda pdf: _collapse_bucket_flat(pdf.drop(columns=["_bucket"])), COLLAPSED_SCHEMA)

@@ -111,8 +111,14 @@ class ApplyJob:
                     daily_bucket_utc("ts").alias("day_utc"),
                 )
 
-            # (A1/A2) reassemble + collapse
-            collapsed = collapse_events_pandas(rows, n_buckets=cfg.shuffle_partitions)
+            # (A1/A2) reassemble + collapse; hot keys two-stage via sub-salt
+            # (detection aggregate runs on the persisted micro-batch — cheap)
+            collapsed = collapse_events_pandas(
+                rows,
+                n_buckets=cfg.shuffle_partitions,
+                hot_key_split=cfg.hot_key_split,
+                hot_key_threshold=cfg.hot_key_threshold,
+            )
 
             # deterministic chaos monkey (seeded analogue of CHANGES.txt:126):
             # fail the FIRST attempt of each configured epoch, just before
