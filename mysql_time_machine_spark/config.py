@@ -56,3 +56,8 @@ class EngineConfig:
     #: by txn_id): set when the binlog files may split transactions; with
     #: txn-atomic files (MySQL rotation semantics) the buffer is unnecessary
     buffer_transactions: bool = False
+    #: event-time bound after which a BEGIN-without-COMMIT transaction's
+    #: buffered state is evicted (the clear-on-rotate analogue,
+    #: CHANGES.txt:112). None = keep state forever (v1 behavior). Only
+    #: meaningful with buffer_transactions.
+    txn_abandon_timeout: str | None = None

@@ -154,7 +154,7 @@ class ApplyJob:
             # transactions; only COMMITted transactions reach the sink
             from mysql_time_machine_spark.streaming.txn_buffer import buffer_transactions
 
-            s = buffer_transactions(s)
+            s = buffer_transactions(s, abandon_timeout=self.cfg.txn_abandon_timeout)
         return s
 
     def run_available(self, timeout_sec: int = 600) -> None:

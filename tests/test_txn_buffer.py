@@ -2,12 +2,19 @@
 
 from __future__ import annotations
 
+import glob
+import os
+import shutil
+import time
+
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
 from fixtures.gen_binlog import generate_rich, write_epoch_files_splitting
 from fixtures.oracle import replay_expected
 from mysql_time_machine_spark.config import EngineConfig
+from mysql_time_machine_spark.schema import EVENT_SCHEMA
 from mysql_time_machine_spark.sinks.manifest import ManifestParquetSink
 from mysql_time_machine_spark.streaming.job import ApplyJob
 
@@ -75,3 +82,76 @@ def test_uncommitted_tail_not_applied(spark, split_log, tmp_path_factory):
         .toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
     )
     assert got["content_sha256"].tolist() == exp["content_sha256"].tolist()
+
+
+# ---------------------------------------------------------------------------
+# Abandoned-transaction eviction (CHANGES.txt:112 clear-on-rotate analogue)
+# ---------------------------------------------------------------------------
+
+T0 = pd.Timestamp("2024-01-01")
+
+
+def _abandoned_stream(spark, tmpdir: str) -> str:
+    """3 epoch files: (0) committed seed + a BEGIN-without-COMMIT partial
+    update on the same key; (1) a committed txn 2 days later (advances the
+    watermark past the abandon bound); (2) a committed txn 3 days later
+    (the batch in which the event-time timeout fires)."""
+    rows = []
+
+    def ev(epoch, op, g, txn, seq, repo=None, path=None, after=None, ddl=None, ts=None):
+        rows.append(dict(
+            log_file="binlog.000001", log_pos=g, gtid=f"u:{g}", gtid_seq=g,
+            txn_id=txn, seq_in_txn=seq, server_id=1,
+            ts=ts if ts is not None else T0 + pd.Timedelta(seconds=g),
+            op=op, schema_version=1, repo=repo, path=path,
+            before=None, after=after, ddl=ddl, epoch=epoch,
+        ))
+
+    img = {"commit": "c0", "lang": "py", "content": "base"}
+    ev(0, "BEGIN", 10, 1, 0, ddl="BEGIN")
+    ev(0, "I", 10, 1, 1, "o", "k0", img)
+    ev(0, "COMMIT", 10, 1, 9, ddl="COMMIT")
+    ev(0, "BEGIN", 20, 2, 0, ddl="BEGIN")
+    ev(0, "U", 20, 2, 1, "o", "k0", {"content": "DANGLING"})  # never commits
+    d2, d3 = T0 + pd.Timedelta(days=2), T0 + pd.Timedelta(days=3)
+    ev(1, "BEGIN", 30, 3, 0, ddl="BEGIN", ts=d2)
+    ev(1, "I", 30, 3, 1, "o", "k1", {"commit": "c1", "lang": "go", "content": "b1"}, ts=d2)
+    ev(1, "COMMIT", 30, 3, 9, ddl="COMMIT", ts=d2)
+    ev(2, "BEGIN", 40, 4, 0, ddl="BEGIN", ts=d3)
+    ev(2, "U", 40, 4, 1, "o", "k1", {"content": "b1v2"}, ts=d3)
+    ev(2, "COMMIT", 40, 4, 9, ddl="COMMIT", ts=d3)
+
+    df = pd.DataFrame(rows)
+    binlog = os.path.join(tmpdir, "binlog")
+    os.makedirs(binlog)
+    for e in range(3):
+        sub = df[df["epoch"] == e].drop(columns=["epoch"])
+        sdf = spark.createDataFrame(sub, schema=EVENT_SCHEMA)
+        stage = os.path.join(tmpdir, f"s{e}")
+        sdf.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.copyfile(part, os.path.join(binlog, f"epoch-{e:03d}.parquet"))
+        time.sleep(0.05)
+    return binlog
+
+
+@pytest.mark.parametrize("timeout,state_rows", [("1 hour", 0), (None, 1)])
+def test_abandoned_txn_state_evicted(spark, tmp_path_factory, timeout, state_rows):
+    """With abandon_timeout set, a BEGIN-without-COMMIT transaction's state
+    is evicted once the stream's event time advances past the bound — its
+    fragments never reach the table and the state store shrinks to empty.
+    Without it (v1), the dangling state row stays forever."""
+    tmpdir = str(tmp_path_factory.mktemp(f"evict_{state_rows}"))
+    binlog = _abandoned_stream(spark, tmpdir)
+    ckpt = os.path.join(tmpdir, "ckpt")
+    cfg = EngineConfig(
+        max_files_per_trigger=1, shuffle_partitions=4, buffer_transactions=True,
+        txn_abandon_timeout=timeout, write_changelog=False,
+    )
+    sink = ManifestParquetSink(spark, os.path.join(tmpdir, "sink"))
+    ApplyJob(spark, binlog, sink, cfg, checkpoint_dir=ckpt).run_available()
+
+    final = {r["path"]: r for r in sink.read().collect()}
+    assert final["k0"]["content"] == "base"  # dangling update never applied
+    assert final["k1"]["content"] == "b1v2"  # later txns unaffected
+    assert spark.read.format("statestore").load(ckpt).count() == state_rows
