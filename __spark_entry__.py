@@ -156,6 +156,33 @@ def _f1_table_filter(spark, sf_dir):
     return docs.where(F.col("lang").rlike("^(en|de)$")).select("doc_id", "lang")
 
 
+def _s4_end_log_bound(spark, sf_dir):
+    """S4: end-binlog-file bound (CHANGES.txt:129) — replay stops at the
+    end of binlog.000001, i.e. the initial snapshot only; churn in
+    binlog.000002 is never consumed."""
+    from fixtures.gen_binlog import sql_mode_events
+    from mysql_time_machine_spark.config import EngineConfig
+    from mysql_time_machine_spark.plans.replay import replay_batch
+    from mysql_time_machine_spark.schema import BASE_COLUMNS
+
+    events = sql_mode_events(spark, sf_dir)
+    final = replay_batch(
+        events, list(BASE_COLUMNS), EngineConfig(end_log_file="binlog.000001"), impl="sql"
+    )
+    return final.select("repo", "path", "commit", "lang", "content")
+
+
+def _f3_namespace_routing(spark, sf_dir):
+    """F3: first-match regex namespace routing (HBase-namespace analogue)."""
+    from mysql_time_machine_spark.functions import namespace_route
+
+    docs = _t(spark, sf_dir, "documents")
+    rules = [("^en$", "ns_english"), ("^(de|fr)$", "ns_euro")]
+    return docs.select(
+        "doc_id", namespace_route(F.col("lang"), rules).alias("namespace")
+    )
+
+
 def _f2_delta_allowlist(spark, sf_dir):
     """F2: delta-tables allowlist gate (CHANGES.txt:111,101)."""
     ev = _t(spark, sf_dir, "events")
@@ -337,6 +364,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w2_asof_resolution": _w2_asof_resolution,
         "f1_table_filter": _f1_table_filter,
         "f2_delta_allowlist": _f2_delta_allowlist,
+        "s4_end_log_bound": _s4_end_log_bound,
+        "f3_namespace_routing": _f3_namespace_routing,
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_user_spend": _q3_user_spend,
         "events_enriched": _events_enriched,
@@ -514,6 +543,20 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "f1_table_filter": "SELECT doc_id, lang FROM documents WHERE regexp_matches(lang, '^(en|de)$')",
+        "s4_end_log_bound": f"""
+            SELECT 'org' || (doc_id % {_N_ORGS}) AS repo,
+                   'src/doc_' || doc_id || '.txt' AS path,
+                   md5('c0:' || doc_id) AS commit,
+                   lang, text AS content
+            FROM documents
+        """,
+        "f3_namespace_routing": """
+            SELECT doc_id,
+                   CASE WHEN regexp_matches(lang, '^en$') THEN 'ns_english'
+                        WHEN regexp_matches(lang, '^(de|fr)$') THEN 'ns_euro'
+                        ELSE 'default' END AS namespace
+            FROM documents
+        """,
         "f2_delta_allowlist": """
             SELECT event_type, count(*) AS n FROM events
             WHERE event_type IN ('click', 'purchase') GROUP BY event_type

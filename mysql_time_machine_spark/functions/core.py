@@ -129,6 +129,23 @@ def content_sha256(col: Column | str = "content") -> Column:
     return F.sha2(col, 256)
 
 
+def namespace_route(
+    repo: Column | str,
+    rules: list[tuple[str, str]],
+    default: str = "default",
+) -> Column:
+    """F3: namespace routing — map a table/repo name to its target
+    namespace by the FIRST matching (regex, namespace) rule, else
+    ``default``. The reference routes replicated tables into HBase
+    namespaces; in the lake the namespace becomes the sink-root prefix
+    (``<base>/<namespace>/<table>``), see sinks/base.route_sink_root."""
+    repo = F.col(repo) if isinstance(repo, str) else repo
+    expr: Column = F.lit(default)
+    for pattern, ns in reversed(rules):
+        expr = F.when(repo.rlike(pattern), F.lit(ns)).otherwise(expr)
+    return expr
+
+
 def daily_bucket_utc(ts: Column | str = "ts") -> Column:
     """A6: UTC day bucket for the changelog (daily-changes tables were
     computed in UTC after the :55 bugfix — CHANGES.txt:55,111,123)."""

@@ -15,9 +15,24 @@ The reference's applier layer is pluggable across HBase / Kafka / STDOUT
 from __future__ import annotations
 
 import abc
+import re
 from typing import Any
 
 from pyspark.sql import DataFrame
+
+
+def route_sink_root(base_root: str, table: str, rules: list[tuple[str, str]] | None, default: str = "default") -> str:
+    """F3 namespace routing at sink-construction time: pick the namespace
+    of ``table`` by the first matching (regex, namespace) rule and return
+    ``<base_root>/<namespace>/<table>`` — the lake analogue of the
+    reference's HBase namespace routing. The same rule set is expressible
+    column-wise with functions.core.namespace_route."""
+    ns = default
+    for pattern, candidate in rules or []:
+        if re.search(pattern, table):
+            ns = candidate
+            break
+    return f"{base_root.rstrip('/')}/{ns}/{table}"
 
 
 class Sink(abc.ABC):

@@ -94,3 +94,18 @@ def test_enum_decode_one_based(spark):
     df = spark.createDataFrame([Row(idx="2")])
     got = df.select(enum_decode("idx", F.array(F.lit("red"), F.lit("green"), F.lit("blue"))).alias("l")).head()["l"]
     assert got == "green"
+
+
+def test_namespace_route_first_match_wins(spark):
+    from mysql_time_machine_spark.functions import namespace_route
+    from mysql_time_machine_spark.sinks.base import route_sink_root
+
+    rules = [("^org0/", "hot"), ("/r1$", "archive")]
+    df = spark.createDataFrame(
+        [Row(repo="org0/r1"), Row(repo="org5/r1"), Row(repo="org5/r9")]
+    )
+    got = [r["ns"] for r in df.select(namespace_route("repo", rules).alias("ns")).collect()]
+    assert got == ["hot", "archive", "default"]  # first match wins
+    # sink-side routing derives the same namespaces into root paths
+    assert route_sink_root("/lake", "org0/r1", rules) == "/lake/hot/org0/r1"
+    assert route_sink_root("/lake/", "org5/r9", rules) == "/lake/default/org5/r9"
