@@ -120,6 +120,27 @@ def _p4_ts_epoch(spark, sf_dir):
     return ev.select("event_id", F.unix_timestamp("ts").alias("ts_epoch"))
 
 
+def _p6_time2(spark, sf_dir):
+    """P6: TIME2 fractional-second durations -> MySQL canonical text
+    (CHANGES.txt:183). Signed micros derived deterministically per event."""
+    from mysql_time_machine_spark.functions.core import time2_canonical
+
+    ev = _t(spark, sf_dir, "events")
+    micros = (F.col("event_id") * 1234567) % F.lit(3020399000000) - F.lit(1000000000000)
+    return ev.select("event_id", time2_canonical(micros).alias("time2"))
+
+
+def _p2_latin1(spark, sf_dir):
+    """P2: latin1-sourced bytes (hex in the KV cell) -> UTF-8
+    (CHANGES.txt:160). 0xE9 prepended so a non-ASCII byte is exercised."""
+    from mysql_time_machine_spark.functions.core import latin1_decode
+
+    docs = _t(spark, sf_dir, "documents")
+    ascii_slice = F.regexp_replace(F.substring("text", 1, 12), "[^ -~]", "")
+    hexed = F.concat(F.lit("E9"), F.hex(F.encode(ascii_slice, "UTF-8")))
+    return docs.select("doc_id", latin1_decode(hexed).alias("decoded"))
+
+
 def _p7_changed_cells(spark, sf_dir):
     """P7: emit only changed values (CHANGES.txt:173) — value vs previous
     per key, window-lag form."""
@@ -360,6 +381,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p11_sha256": _p11_sha256,
         "p3_blob_hex": _p3_blob_hex,
         "p4_ts_epoch": _p4_ts_epoch,
+        "p6_time2": _p6_time2,
+        "p2_latin1": _p2_latin1,
         "p7_changed_cells": _p7_changed_cells,
         "w2_asof_resolution": _w2_asof_resolution,
         "f1_table_filter": _f1_table_filter,
@@ -528,6 +551,23 @@ def oracle_sql() -> dict[str, str]:
         "p3_blob_hex": "SELECT doc_id, upper(hex(substr(text, 1, 16))) AS hex16 FROM documents",
         # floor, not round: Spark unix_timestamp truncates sub-second parts
         "p4_ts_epoch": "SELECT event_id, floor(epoch(ts))::BIGINT AS ts_epoch FROM events",
+        "p6_time2": """
+            SELECT event_id,
+                   printf('%s%02d:%02d:%02d.%06d',
+                          CASE WHEN v < 0 THEN '-' ELSE '' END,
+                          abs(v) // 3600000000,
+                          (abs(v) // 60000000) % 60,
+                          (abs(v) // 1000000) % 60,
+                          abs(v) % 1000000) AS time2
+            FROM (SELECT event_id,
+                         (event_id * 1234567) % 3020399000000 - 1000000000000 AS v
+                  FROM events)
+        """,
+        "p2_latin1": """
+            SELECT doc_id,
+                   chr(233) || regexp_replace(substr(text, 1, 12), '[^ -~]', '', 'g') AS decoded
+            FROM documents
+        """,
         "p7_changed_cells": """
             SELECT event_id, user_id, round(value, 6) AS value FROM (
                 SELECT event_id, user_id, value,

@@ -122,6 +122,55 @@ def enum_decode(idx: Column | str, labels: Column) -> Column:
     return F.element_at(labels, idx.cast("int"))
 
 
+def time2_canonical(col: Column | str) -> Column:
+    """P6: MySQL TIME2 — a signed fractional-second duration carried as
+    microseconds — canonicalized to MySQL's text form '-HH:MM:SS.ffffff'
+    (CHANGES.txt:183 "Conversion of TIME2 values"). Pure Catalyst; NULL in,
+    NULL out."""
+    col = (F.col(col) if isinstance(col, str) else col).cast("long")
+    sign = F.when(col < 0, F.lit("-")).otherwise(F.lit(""))
+    a = F.abs(col)
+    return F.when(
+        col.isNotNull(),
+        F.format_string(
+            "%s%02d:%02d:%02d.%06d",
+            sign,
+            F.floor(a / 3_600_000_000).cast("long"),
+            (F.floor(a / 60_000_000) % 60).cast("long"),
+            (F.floor(a / 1_000_000) % 60).cast("long"),
+            (a % 1_000_000).cast("long"),
+        ),
+    )
+
+
+def latin1_decode(col: Column | str) -> Column:
+    """P2: latin1-sourced bytes (hex-encoded in the KV cell, as the binlog
+    carries raw column bytes) -> UTF-8 string (CHANGES.txt:160 "utf8 and
+    latin1 charsets"). latin1 maps 1:1 onto U+0000..U+00FF."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.decode(F.unhex(col), "ISO-8859-1")
+
+
+#: plain SQL-castable engine types (richer types handled by materialize_cell)
+CAST_MAP = {"string": "string", "long": "long", "int": "int", "timestamp": "timestamp", "double": "double"}
+
+
+def materialize_cell(image: Column | str, name: str, typ: str) -> Column:
+    """Project + decode ONE business cell from the string-image map onto
+    its engine type — the single place the per-type canonicalizers (P2-P6)
+    plug into materialization, shared by batch replay and both sinks."""
+    image = F.col(image) if isinstance(image, str) else image
+    raw = F.element_at(image, name)
+    if typ == "time2":
+        return time2_canonical(raw).alias(name)
+    if typ == "latin1":
+        return latin1_decode(raw).alias(name)
+    if typ.startswith("enum("):
+        labels = typ[len("enum("):-1].split("|")
+        return enum_decode(raw, F.array(*[F.lit(lb) for lb in labels])).alias(name)
+    return raw.cast(CAST_MAP[typ]).alias(name)
+
+
 def content_sha256(col: Column | str = "content") -> Column:
     """P11: per-row content hash — the correctness invariant of the build
     (BASELINE.json input_hint: content sha256 equality)."""

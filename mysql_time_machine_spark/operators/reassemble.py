@@ -427,10 +427,11 @@ def materialize(collapsed: DataFrame, business_columns: Iterable[tuple[str, str]
     CHANGES.txt:44-46 without any batch splitting.
     Tombstones (row_status='D') are kept: the sink turns them into deletes.
     """
-    cast_map = {"string": "string", "long": "long", "int": "int", "timestamp": "timestamp", "double": "double"}
+    from mysql_time_machine_spark.functions.core import materialize_cell
+
     cols = [F.col("repo"), F.col("path")]
     for name, typ in business_columns:
-        cols.append(F.element_at(F.col("image"), name).cast(cast_map[typ]).alias(name))
+        cols.append(materialize_cell("image", name, typ))
     cols += [
         F.col("row_status"),
         F.col("gtid_seq"),

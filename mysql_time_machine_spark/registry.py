@@ -21,16 +21,19 @@ from pyspark.sql import functions as F
 from mysql_time_machine_spark.schema import BASE_COLUMNS, REGISTRY_SCHEMA
 
 _ADD_COLUMN_RE = re.compile(
-    r"(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(\w+)\s+(\w+)"
+    r"(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(\w+)\s+(.+?)\s*$"
 )
 _DROP_COLUMN_RE = re.compile(r"(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)")
 _ENUM_RE = re.compile(r"(?is)enum\s*\((.*?)\)")
+_LATIN1_RE = re.compile(r"(?i)(character\s+set|charset)\s+latin1")
 
 _TYPE_MAP = {
     "string": "string", "varchar": "string", "text": "string", "char": "string",
     "long": "long", "bigint": "long", "int": "int", "integer": "int",
     "timestamp": "timestamp", "datetime": "timestamp", "double": "double",
     "float": "double", "enum": "string",
+    # fractional-second TIME: canonicalized by functions.core.time2_canonical
+    "time": "time2", "time2": "time2",
 }
 
 
@@ -41,6 +44,22 @@ def parse_enum_labels(column_definition: str) -> list[str] | None:
     if not m:
         return None
     return [p.strip().strip("'\"") for p in m.group(1).split(",")]
+
+
+def parse_column_type(column_definition: str) -> str:
+    """Column DEFINITION (everything after the name) -> engine type string.
+    ENUM label lists are folded into the type ('enum(a|b|c)') so the
+    as-of schema alone is enough to decode values (CHANGES.txt:182);
+    latin1-charset columns decode through the P2 path (CHANGES.txt:160);
+    TIME/TIME(fsp) through the TIME2 canonicalizer (CHANGES.txt:183)."""
+    labels = parse_enum_labels(column_definition)
+    if labels:
+        return "enum(" + "|".join(labels) + ")"
+    if _LATIN1_RE.search(column_definition):
+        return "latin1"
+    m = re.match(r"\s*(\w+)", column_definition)
+    base = m.group(1).lower() if m else "string"
+    return _TYPE_MAP.get(base, "string")
 
 
 @dataclass
@@ -75,10 +94,10 @@ class SchemaRegistry:
         cur = [list(c) for c in self.versions[-1]["columns"]]
         m = _ADD_COLUMN_RE.match(ddl)
         if m:
-            _tbl, name, typ = m.groups()
+            _tbl, name, defn = m.groups()
             if any(c[0] == name for c in cur):
                 return False
-            cur.append([name, _TYPE_MAP.get(typ.lower(), "string")])
+            cur.append([name, parse_column_type(defn)])
         else:
             m2 = _DROP_COLUMN_RE.match(ddl)
             if m2:

@@ -68,8 +68,12 @@ LINEAGE_COLUMNS: list[tuple[str, str]] = [
 KEY_COLUMNS = ("repo", "path")
 
 
-def target_struct(business_columns: list[tuple[str, str]]) -> T.StructType:
-    """StructType of the live target table for a given business column set."""
+def spark_type(typ: str) -> T.DataType:
+    """Engine type string -> Spark type. Rich MySQL types whose decoded
+    canonical form is textual (TIME2 duration strings, latin1-decoded text,
+    ENUM labels) land as strings."""
+    if typ in ("time2", "latin1") or typ.startswith("enum("):
+        return T.StringType()
     mapping = {
         "string": T.StringType(),
         "long": T.LongType(),
@@ -77,9 +81,14 @@ def target_struct(business_columns: list[tuple[str, str]]) -> T.StructType:
         "timestamp": T.TimestampType(),
         "double": T.DoubleType(),
     }
+    return mapping[typ]
+
+
+def target_struct(business_columns: list[tuple[str, str]]) -> T.StructType:
+    """StructType of the live target table for a given business column set."""
     fields = [T.StructField(k, T.StringType(), False) for k in KEY_COLUMNS]
-    fields += [T.StructField(n, mapping[t], True) for n, t in business_columns]
-    fields += [T.StructField(n, mapping[t], True) for n, t in LINEAGE_COLUMNS]
+    fields += [T.StructField(n, spark_type(t), True) for n, t in business_columns]
+    fields += [T.StructField(n, spark_type(t), True) for n, t in LINEAGE_COLUMNS]
     return T.StructType(fields)
 
 

@@ -84,9 +84,17 @@ class IcebergSink(Sink):
         typ = {"string": "STRING", "long": "BIGINT", "int": "INT", "timestamp": "TIMESTAMP", "double": "DOUBLE"}
         for name, t in business_columns:
             if name not in existing:
-                self.spark.sql(f"ALTER TABLE {self.table} ADD COLUMN {name} {typ[t]}")
+                # rich types (time2 / latin1 / enum) decode to STRING
+                ddl_t = typ.get(t, "STRING")
+                self.spark.sql(f"ALTER TABLE {self.table} ADD COLUMN {name} {ddl_t}")
+        # remember the RICH engine types: the Iceberg schema only stores the
+        # decoded (string) shape, but materialize_batch needs time2/latin1/
+        # enum to run the P2-P6 canonicalizers
+        self._columns = [tuple(c) for c in business_columns]
 
     def _business_columns(self) -> list[tuple[str, str]]:
+        if getattr(self, "_columns", None):
+            return self._columns
         skip = {"repo", "path", "row_status", "gtid_seq", "schema_version", "updated_ts"}
         rev = {"string": "string", "bigint": "long", "int": "int", "timestamp": "timestamp", "double": "double"}
         return [

@@ -276,10 +276,11 @@ class ManifestParquetSink(Sink):
                 merged_img = upserts
 
             # materialize the image map onto the (possibly evolved) schema
-            cast_map = {"string": "string", "long": "long", "int": "int", "timestamp": "timestamp", "double": "double"}
+            from mysql_time_machine_spark.functions.core import materialize_cell
+
             mat_cols = [F.col("repo"), F.col("path")]
             for name, typ in business_columns:
-                mat_cols.append(F.element_at(F.col("image"), name).cast(cast_map[typ]).alias(name))
+                mat_cols.append(materialize_cell("image", name, typ))
             mat_cols += [F.col(n) for n, _ in LINEAGE_COLUMNS] + [F.col("_bucket")]
             new_rows = merged_img.select(*mat_cols)
 

@@ -68,11 +68,12 @@ def materialize_batch(batch: DataFrame, business_columns: list[tuple[str, str]])
     """Collapsed batch -> (keys, lineage, image, *typed business columns).
     Keeps the image map alongside the materialized cells so the matched-set
     expressions can test cell presence."""
-    cast_map = {"string": "string", "long": "long", "int": "int", "timestamp": "timestamp", "double": "double"}
+    from mysql_time_machine_spark.functions.core import materialize_cell
+
     cols = [F.col("repo"), F.col("path"), F.col("row_status"), F.col("full_image"),
             F.col("gtid_seq"), F.col("schema_version"), F.col("updated_ts"), F.col("image")]
     for name, typ in business_columns:
-        cols.append(F.element_at(F.col("image"), name).cast(cast_map[typ]).alias(name))
+        cols.append(materialize_cell("image", name, typ))
     return batch.select(*cols)
 
 
