@@ -157,3 +157,41 @@ def test_delete_then_update_does_not_resurrect_old_cells(spark, tmp_path):
     row = sink.read().where(F.col("path") == "k1").head()
     assert row["lang"] == "new"
     assert row["commit"] is None and row["content"] is None  # no resurrection
+
+
+# ---------------------------------------------------------------------------
+# Kafka applier record shape (S6) — brokerless
+# ---------------------------------------------------------------------------
+
+
+def test_kafka_record_shape(spark):
+    """key = salted reference row key; value = JSON row or NULL tombstone
+    for deletes; topic namespace-routed. The wire send is jar-gated; the
+    projection is the testable contract."""
+    import hashlib
+    import json
+
+    from mysql_time_machine_spark.sinks.kafka import format_kafka_batch
+
+    batch = _collapsed(
+        spark,
+        [
+            ("org0/r1", "src/a.py", "I", {"commit": "c", "lang": "py", "content": "x"}, True, 7),
+            ("org5/r9", "src/b.py", "D", None, True, 8),
+        ],
+    )
+    recs = {
+        r["key"]: r
+        for r in format_kafka_batch(
+            batch, COLS, topic="repos", namespace_rules=[("^org0/", "hot")]
+        ).collect()
+    }
+    pk = "org0/r1;src/a.py"
+    k = hashlib.md5(pk.encode()).hexdigest()[:8] + ";" + pk
+    assert k in recs
+    assert recs[k]["topic"] == "hot.repos"
+    v = json.loads(recs[k]["value"])
+    assert v["commit"] == "c" and v["gtid_seq"] == 7 and v["row_status"] == "I"
+    dk = next(key for key in recs if key.endswith("org5/r9;src/b.py"))
+    assert recs[dk]["value"] is None  # compacted-topic tombstone
+    assert recs[dk]["topic"] == "default.repos"
