@@ -141,6 +141,33 @@ def main():
         "dedup_minhash_lsh",
         lambda: qs["dedup_minhash_lsh"](spark, SF_DIR).agg(F.count("*")).collect(),
     )
+    timed(
+        "dedup_simhash_pairs",
+        lambda: qs["dedup_simhash_pairs"](spark, SF_DIR).agg(F.count("*")).collect(),
+    )
+    # scale evidence for the pigeonhole banding: candidates examined by the
+    # banded equi-join vs the all-pairs count it replaces
+    from mysql_time_machine_spark.operators.dedup import _simhash_chunks, simhash
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    base = docs.select(F.col("lang"), simhash("text").alias("h"))
+    chunked = base.select(
+        "lang",
+        F.explode(
+            F.array(*[F.struct(F.lit(i).alias("ci"), cv.alias("cv"))
+                      for i, cv in enumerate(_simhash_chunks(F.col("h"), 5))])
+        ).alias("c"),
+    ).select("lang", "c.ci", "c.cv")
+    cand = (
+        chunked.groupBy("lang", "ci", "cv").count()
+        .agg(F.sum(F.col("count") * (F.col("count") - 1) / 2))
+        .head()[0]
+    )
+    n_docs = docs.count()
+    langs = docs.groupBy("lang").count().agg(F.sum(F.col("count") * (F.col("count") - 1) / 2)).head()[0]
+    extra["simhash_banded_candidates"] = int(cand)
+    extra["simhash_allpairs_within_lang"] = int(langs)
+    extra["simhash_n_docs"] = n_docs
 
     total = round(sum(timings.values()), 3)
     print(

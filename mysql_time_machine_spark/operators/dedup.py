@@ -249,22 +249,32 @@ SIMHASH_BITS = 32  # md5-hex prefix parsed to a non-negative int32-ish value
 def simhash(text_col: str) -> F.Column:
     """SimHash over word tokens: per-token md5 -> SIMHASH_BITS bits; each
     bit position accumulates +1/-1; fingerprint bit = sign. Pure SQL
-    (portable to the DuckDB oracle)."""
+    (portable to the DuckDB oracle).
+
+    Single-pass fold: Catalyst does no CSE across array-HOF lambdas, so 32
+    separate per-bit aggregates would re-tokenize + re-md5 the document 32
+    times (the round-1 MinHash lesson). Instead ONE ``aggregate`` walks the
+    token-hash array once, carrying a 32-slot vote accumulator; bit tests
+    are ``h & 2^i`` against a constant powers array."""
     t = F.array_distinct(tokens(F.col(text_col)))
     th = F.transform(t, lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long"))
-    bit_exprs = []
-    for bit in range(SIMHASH_BITS):
-        votes = F.aggregate(
-            th,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
-        )
-        bit_exprs.append(F.when(votes > 0, F.lit(2**bit)).otherwise(F.lit(0)).cast("long"))
-    out = bit_exprs[0]
-    for e in bit_exprs[1:]:
-        out = out + e
-    return out
+    powers = F.array(*[F.lit(1 << i).cast("long") for i in range(SIMHASH_BITS)])
+    votes = F.aggregate(
+        th,
+        F.array_repeat(F.lit(0), SIMHASH_BITS),
+        lambda acc, h: F.zip_with(
+            acc,
+            powers,
+            lambda a, p: a + F.when(h.bitwiseAND(p) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes, powers, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda a, b: a + b,
+    )
 
 
 def _simhash_chunks(h: F.Column, n_chunks: int) -> list[F.Column]:
@@ -292,9 +302,14 @@ def simhash_pairs(
     bit-chunks; two fingerprints within Hamming distance max_hamming differ
     in at most max_hamming chunks, so they MUST agree on at least one —
     candidates therefore come from an equi-join on (chunk_idx, chunk_value)
-    (plus block_cols), exactly the MinHash-LSH join shape. A pair can
-    collide on several chunks, so candidates are deduped before the
-    bit_count(xor) verification. Never an all-pairs scan.
+    (plus block_cols), exactly the MinHash-LSH join shape. Never an
+    all-pairs scan.
+
+    A pair agreeing on several chunks would match several times; the
+    LEFTMOST-MATCH filter (keep a match at chunk i only when every chunk
+    j < i DIFFERS — pure bit ops on the two fingerprints already in hand)
+    makes each pair survive exactly once, so no distinct/aggregate pass is
+    needed: join -> codegen'd filter -> done, one stage.
     """
     n_chunks = max_hamming + 1
     base = docs.select(
@@ -323,15 +338,21 @@ def simhash_pairs(
     cond = cond & (F.col("a.cv") == F.col("b.cv"))
     for c in block_cols:
         cond = cond & (F.col(f"a_{c}") == F.col(f"b_{c}"))
-    cand = (
+    # leftmost-match dedup: chunk i is the pair's FIRST agreeing chunk
+    a_chunks = _simhash_chunks(F.col("a_h"), n_chunks)
+    b_chunks = _simhash_chunks(F.col("b_h"), n_chunks)
+    leftmost = F.lit(True)
+    prior_all_differ = F.lit(True)
+    lm = F.when(F.col("a.ci") == 0, F.lit(True))
+    for i in range(1, n_chunks):
+        prior_all_differ = prior_all_differ & (a_chunks[i - 1] != b_chunks[i - 1])
+        lm = lm.when(F.col("a.ci") == i, prior_all_differ)
+    leftmost = lm.otherwise(F.lit(False))
+    return (
         a.alias("a")
         .join(b.alias("b"), cond)
-        .where(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "a_h", "b_h")
-        .distinct()
-    )
-    return (
-        cand.select(
+        .where((F.col("a_id") < F.col("b_id")) & leftmost)
+        .select(
             "a_id", "b_id",
             F.bit_count(F.col("a_h").bitwiseXOR(F.col("b_h"))).alias("hamming"),
         )
