@@ -311,6 +311,15 @@ def _dedup_embedding(spark, sf_dir):
     return pairs.select("a_id", "b_id", F.round("cos", 6).alias("cos"))
 
 
+def _dedup_embedding_ivf(spark, sf_dir):
+    """Embedding near-dup blocked on the data-derived IVF centroid cell
+    (no fixture label needed) — the 100-TB shape of dedup_embedding."""
+    from mysql_time_machine_spark.operators.dedup import embedding_dup_pairs_ivf
+
+    pairs = embedding_dup_pairs_ivf(_t(spark, sf_dir, "embeddings"), threshold=0.4, nlist=8)
+    return pairs.select("a_id", "b_id", F.round("cos", 6).alias("cos"))
+
+
 def _sim_bruteforce_topk(spark, sf_dir):
     from mysql_time_machine_spark.operators.ann import brute_force_topk
 
@@ -399,6 +408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _dedup_simhash,
         "dedup_simhash_pairs": _dedup_simhash_pairs,
         "dedup_embedding": _dedup_embedding,
+        "dedup_embedding_ivf": _dedup_embedding_ivf,
         "sim_bruteforce_topk": _sim_bruteforce_topk,
         "sim_ivf_assign": _sim_ivf_assign,
         "text_langid": _text_langid,
@@ -684,6 +694,24 @@ def oracle_sql() -> dict[str, str]:
                    round({_cos("a.embedding", "b.embedding")}, 6) AS cos
             FROM embeddings a JOIN embeddings b
               ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE {_cos("a.embedding", "b.embedding")} >= 0.4
+        """,
+        "dedup_embedding_ivf": f"""
+            WITH cents AS (
+                SELECT vec_id AS centroid_id, embedding AS cvec
+                FROM embeddings WHERE vec_id < 8),
+            scored AS (
+                SELECT e.vec_id, e.embedding, c.centroid_id,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC,
+                                    c.centroid_id) AS rn
+                FROM embeddings e CROSS JOIN cents c),
+            assigned AS (SELECT vec_id, embedding, centroid_id FROM scored WHERE rn = 1)
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                   round({_cos("a.embedding", "b.embedding")}, 6) AS cos
+            FROM assigned a JOIN assigned b
+              ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
             WHERE {_cos("a.embedding", "b.embedding")} >= 0.4
         """,
         "sim_bruteforce_topk": f"""

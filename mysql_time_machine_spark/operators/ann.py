@@ -38,24 +38,62 @@ def brute_force_topk(
     )
 
 
-def assign_centroids(
+def seed_centroids(
     embeddings: DataFrame,
     nlist: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Stage 0: centroid assignment. Centroids = first nlist vectors by id
-    (deterministic; production would use k-means). Broadcast cross-join +
-    argmin — nlist is tiny, the join is map-side.
-
-    The argmin is ``groupBy(id).agg(max_by(...))`` — map-side combinable
-    partial aggregation, so the exchange carries ONE row per vector instead
-    of nlist scored candidates (and no Sort/Window at all). Tie-break is
-    (highest cscore, lowest centroid_id), encoded as max over the ordering
-    struct (cscore, -centroid_id)."""
-    cents = embeddings.where(F.col(id_col) < nlist).select(
+    """Deterministic seed centroids: the first nlist vectors by id. The
+    cheapest reproducible choice — refine with ``kmeans_centroids``."""
+    return embeddings.where(F.col(id_col) < nlist).select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec")
     )
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    nlist: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd iterations, all DataFrame ops: assign every
+    vector to its nearest centroid (broadcast cross-join + map-side-combined
+    max_by argmin), then recompute each centroid as the element-wise mean of
+    its members (posexplode -> groupBy(centroid, dim).avg — partial
+    aggregation, shuffle rows = N x dim, never the vectors themselves).
+
+    Iterative, so no single-SQL oracle exists — correctness is covered by
+    pytest (determinism + assignment-quality vs the seed centroids). The
+    driver loop is ``iters`` Spark jobs; the per-iteration centroid set
+    (nlist rows) is collected to cut lineage, the data-sized work stays
+    distributed. Empty clusters keep their previous centroid."""
+    spark = embeddings.sparkSession
+    cents = seed_centroids(embeddings, nlist, id_col, vec_col)
+    for _ in range(iters):
+        assigned = _assign(embeddings, cents, id_col, vec_col)
+        means = (
+            assigned.select("centroid_id", F.posexplode(vec_col).alias("dim", "x"))
+            .groupBy("centroid_id", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select(
+                "centroid_id",
+                F.transform("dm", lambda s: s["m"].cast("float")).alias("centroid_vec"),
+            )
+        )
+        prev = {r["centroid_id"]: r["centroid_vec"] for r in cents.collect()}
+        new = {r["centroid_id"]: r["centroid_vec"] for r in means.collect()}
+        merged = [(cid, new.get(cid, vec)) for cid, vec in sorted(prev.items())]
+        cents = spark.createDataFrame(
+            merged, "centroid_id long, centroid_vec array<float>"
+        )
+    return cents
+
+
+def _assign(embeddings: DataFrame, cents: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     scored = embeddings.crossJoin(F.broadcast(cents)).withColumn(
         "cscore", cosine(F.col(vec_col), F.col("centroid_vec"))
     )
@@ -70,6 +108,27 @@ def assign_centroids(
     )
 
 
+def assign_centroids(
+    embeddings: DataFrame,
+    nlist: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Stage 0: centroid assignment. Default centroids = first nlist
+    vectors by id (deterministic, oracle-expressible); pass
+    ``centroids=kmeans_centroids(...)`` for refined ones. Broadcast
+    cross-join + argmin — nlist is tiny, the join is map-side.
+
+    The argmin is ``groupBy(id).agg(max_by(...))`` — map-side combinable
+    partial aggregation, so the exchange carries ONE row per vector instead
+    of nlist scored candidates (and no Sort/Window at all). Tie-break is
+    (highest cscore, lowest centroid_id), encoded as max over the ordering
+    struct (cscore, -centroid_id)."""
+    cents = centroids if centroids is not None else seed_centroids(embeddings, nlist, id_col, vec_col)
+    return _assign(embeddings, cents, id_col, vec_col)
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -78,12 +137,11 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     q = lit_vec(query_vec)
-    assigned = assign_centroids(embeddings, nlist, id_col, vec_col)
-    cents = embeddings.where(F.col(id_col) < nlist).select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec")
-    )
+    cents = centroids if centroids is not None else seed_centroids(embeddings, nlist, id_col, vec_col)
+    assigned = assign_centroids(embeddings, nlist, id_col, vec_col, centroids=cents)
     probed = (
         cents.select("centroid_id", cosine(F.col("centroid_vec"), q).alias("qscore"))
         .orderBy(F.desc("qscore"), F.col("centroid_id"))

@@ -390,3 +390,35 @@ def embedding_dup_pairs(
         .select("a_id", "b_id", cosine("a_v", "b_v").alias("cos"))
         .where(F.col("cos") >= threshold)
     )
+
+
+def embedding_dup_pairs_ivf(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    nlist: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """The scale path for embedding near-dup: block on the IVF centroid
+    assignment (``assign_centroids``) instead of a fixture label — the
+    equi-join key is data-derived, so this works on any corpus. Approximate
+    in the standard IVF sense: a pair straddling two centroid cells is
+    missed (raise nlist quality via kmeans_centroids, or multi-probe, to
+    tighten recall). Brute force only inside cells, which the assignment
+    keeps balanced."""
+    from mysql_time_machine_spark.operators.ann import assign_centroids
+
+    assigned = assign_centroids(embeddings, nlist, id_col, vec_col, centroids=centroids)
+    a = assigned.select(
+        F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_v"), "centroid_id"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_v"), "centroid_id"
+    )
+    return (
+        a.join(b, "centroid_id")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", cosine("a_v", "b_v").alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )

@@ -172,6 +172,38 @@ def test_assign_centroids_complete(spark, emb):
     assert assigned.select("centroid_id").distinct().count() <= 8
 
 
+def test_kmeans_centroids_deterministic_and_tighter(spark, emb):
+    """Lloyd refinement: deterministic across runs, and the mean cosine of
+    each vector to its assigned centroid must not get worse than the raw
+    first-nlist seeds (it should get strictly better on real spreads)."""
+    from mysql_time_machine_spark.functions.similarity import cosine
+    from mysql_time_machine_spark.operators.ann import kmeans_centroids, seed_centroids
+
+    km1 = kmeans_centroids(emb, nlist=8, iters=2)
+    km2 = kmeans_centroids(emb, nlist=8, iters=2)
+    assert sorted(map(tuple, km1.collect())) == sorted(map(tuple, km2.collect()))
+
+    def mean_fit(cents):
+        assigned = assign_centroids(emb, nlist=8, centroids=cents)
+        scored = assigned.join(
+            F.broadcast(cents.withColumnRenamed("centroid_vec", "cv")), "centroid_id"
+        )
+        return scored.agg(F.avg(cosine("embedding", "cv"))).head()[0]
+
+    assert mean_fit(km1) >= mean_fit(seed_centroids(emb, nlist=8)) - 1e-9
+
+
+def test_embedding_dup_pairs_ivf_planted(spark, emb):
+    """IVF-blocked near-dup: an exact duplicate lands in the same centroid
+    cell and is found without any label column."""
+    from mysql_time_machine_spark.operators.dedup import embedding_dup_pairs_ivf
+
+    sample = emb.limit(50)
+    dup = sample.limit(1).withColumn("vec_id", F.lit(10_003).cast("long"))
+    pairs = embedding_dup_pairs_ivf(sample.unionByName(dup), threshold=0.999, nlist=4).collect()
+    assert any(r["b_id"] == 10_003 and r["cos"] > 0.999 for r in pairs)
+
+
 # -- text ----------------------------------------------------------------------
 
 
