@@ -141,10 +141,12 @@ def main():
         "dedup_minhash_lsh",
         lambda: qs["dedup_minhash_lsh"](spark, SF_DIR).agg(F.count("*")).collect(),
     )
-    timed(
-        "dedup_simhash_pairs",
-        lambda: qs["dedup_simhash_pairs"](spark, SF_DIR).agg(F.count("*")).collect(),
-    )
+    def run_simhash_pairs():
+        extra["simhash_pairs_found"] = qs["dedup_simhash_pairs"](spark, SF_DIR).agg(
+            F.count("*")
+        ).collect()[0][0]
+
+    timed("dedup_simhash_pairs", run_simhash_pairs)
     # scale evidence for the pigeonhole banding: candidates examined by the
     # banded equi-join vs the all-pairs count it replaces
     from mysql_time_machine_spark.operators.dedup import _simhash_chunks, simhash
@@ -168,6 +170,11 @@ def main():
     extra["simhash_banded_candidates"] = int(cand)
     extra["simhash_allpairs_within_lang"] = int(langs)
     extra["simhash_n_docs"] = n_docs
+    # interpretability: this synthetic corpus is dup-dense (seeded near-dups
+    # + templated text), so candidates are bounded BELOW by true pairs; the
+    # distinct-fingerprint count shows how much of the collision mass is
+    # genuine duplication rather than banding looseness
+    extra["simhash_distinct_fingerprints"] = base.select("h").distinct().count()
 
     total = round(sum(timings.values()), 3)
     print(

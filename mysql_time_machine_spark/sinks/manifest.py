@@ -92,6 +92,9 @@ class ManifestParquetSink(Sink):
         """The atomic commit: write manifest file, then os.replace the
         pointer — a reader sees either the old or the new snapshot, never a
         mix. This single rename is what makes MERGE+lineage+fence atomic."""
+        import time as _time
+
+        manifest.setdefault("committed_at", _time.time())
         path = self._manifest_path(manifest["snapshot_id"])
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
@@ -129,6 +132,17 @@ class ManifestParquetSink(Sink):
         best = 0
         for m in self.snapshots():
             if m["max_gtid_seq"] <= gtid_seq:
+                best = m["snapshot_id"]
+        return self.read(snapshot_id=best)
+
+    def snapshot_as_of_timestamp(self, epoch_sec: float) -> DataFrame:
+        """Iceberg's `TIMESTAMP AS OF` on commit WALL-CLOCK time: the
+        latest snapshot committed at-or-before the bound (every manifest
+        records its commit time). Complements snapshot_as_of_gtid, which
+        keys on the stream's own clock."""
+        best = 0
+        for m in self.snapshots():
+            if m.get("committed_at", 0) <= epoch_sec:
                 best = m["snapshot_id"]
         return self.read(snapshot_id=best)
 

@@ -161,6 +161,20 @@ def test_time_travel_by_gtid(completed, small_log):
     assert sink.snapshot_as_of_gtid(-1).count() == 0
 
 
+def test_time_travel_by_wallclock(completed):
+    """TIMESTAMP AS OF on commit wall-clock time: every manifest records
+    committed_at; a bound between two commits reads the earlier one, a
+    bound in the future reads the current table."""
+    _, sink = completed
+    snaps = sink.snapshots()[1:]
+    mid = snaps[len(snaps) // 2]
+    got = sink.snapshot_as_of_timestamp(mid["committed_at"])
+    assert got.count() == sink.snapshot_as_of(mid["snapshot_id"]).count()
+    assert sink.snapshot_as_of_timestamp(0).count() == 0  # before first commit
+    latest = sink.snapshot_as_of_timestamp(snaps[-1]["committed_at"] + 3600)
+    assert latest.count() == sink.read().count()
+
+
 def test_lineage_reconciliation(completed, small_log):
     """Sum of per-epoch consumed-event counters == generator-side emitted
     totals (mirrors CHANGES.txt:113-116,124: counters must not lose
