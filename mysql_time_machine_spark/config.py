@@ -52,6 +52,9 @@ class EngineConfig:
 
     # --- streaming ---------------------------------------------------------
     max_files_per_trigger: int = 4
+    #: wire format of the binlog event files: 'parquet' (default, columnar)
+    #: or 'json' (one AugmentedRow object per line, CHANGES.txt:87)
+    binlog_format: str = "parquet"
     #: v2 cross-batch transaction reassembly (applyInPandasWithState keyed
     #: by txn_id): set when the binlog files may split transactions; with
     #: txn-atomic files (MySQL rotation semantics) the buffer is unnecessary

@@ -1,13 +1,14 @@
 """Deduplication operators for training-data pipelines.
 
-Five strategies, cheapest-first — the standard web-corpus dedup ladder:
+Cheapest-first — the standard web-corpus dedup ladder:
 
-1. ``exact_dedup``          — hash-groupBy on the raw text
-2. ``fingerprint_dedup``    — hash-groupBy on the canonicalized token stream
-3. ``ngram_jaccard_pairs``  — blocked pairwise n-gram Jaccard (near-dup)
-4. ``minhash_lsh_pairs``    — MinHash + banded LSH (near-dup at scale)
-5. ``simhash_pairs``        — SimHash fingerprints + Hamming distance
-6. ``embedding_dup_pairs``  — cosine near-dup over an embedding column
+1. ``exact_dedup``             — hash-groupBy on the raw text
+2. ``fingerprint_dedup``       — hash-groupBy on the canonicalized token stream
+3. ``ngram_jaccard_pairs``     — length-bucket-blocked n-gram Jaccard (near-dup)
+4. ``minhash_lsh_pairs``       — MinHash + banded LSH (near-dup at scale)
+5. ``simhash_pairs``           — SimHash + pigeonhole-banded Hamming join
+6. ``embedding_dup_pairs``     — cosine near-dup over an embedding column
+7. ``embedding_dup_pairs_ivf`` — same, blocked on data-derived IVF cells
 
 Scale notes (the part that matters at 100 TB):
 - 1/2 are single-shuffle groupBys with map-side partial aggregation.

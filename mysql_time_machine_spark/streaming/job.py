@@ -37,7 +37,6 @@ from mysql_time_machine_spark.functions.core import classify_event, daily_bucket
 from mysql_time_machine_spark.operators.reassemble import collapse_events_pandas
 from mysql_time_machine_spark.plans.replay import filter_events
 from mysql_time_machine_spark.registry import SchemaRegistry
-from mysql_time_machine_spark.schema import EVENT_SCHEMA
 from mysql_time_machine_spark.sinks.manifest import ManifestParquetSink
 
 
@@ -144,10 +143,13 @@ class ApplyJob:
 
     # -- wiring -----------------------------------------------------------------
     def stream(self) -> DataFrame:
-        s = (
-            self.spark.readStream.schema(EVENT_SCHEMA)
-            .option("maxFilesPerTrigger", self.cfg.max_files_per_trigger)
-            .parquet(self.binlog_dir)
+        from mysql_time_machine_spark.sources.binlog import binlog_stream
+
+        s = binlog_stream(
+            self.spark,
+            self.binlog_dir,
+            fmt=self.cfg.binlog_format,
+            max_files_per_trigger=self.cfg.max_files_per_trigger,
         )
         if self.cfg.buffer_transactions:
             # v2 path: cross-batch uuidBuffer — epoch files may split
