@@ -27,7 +27,10 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 AMPLIFY = int(os.environ.get("SPARK_GRAFT_AMPLIFY", "300"))
-LEVELS = (8, 32)  # N and 4N
+#: N and 4N. Override with SPARK_GRAFT_LEVELS="2,8" for a pair that leaves
+#: single-socket memory-bandwidth headroom at BOTH levels (the closer proxy
+#: for multi-NODE scaling, where each executor brings its own bus).
+LEVELS = tuple(int(x) for x in os.environ.get("SPARK_GRAFT_LEVELS", "8,32").split(","))
 #: identical physical plan at both levels: same shuffle partitioning, same
 #: bucket count — ONLY the executor-thread count differs
 PARTITIONS = 256
@@ -75,11 +78,14 @@ def main() -> int:
     from bench import amplified_events
     from mysql_time_machine_spark.session import get_spark
 
-    tmp = tempfile.mkdtemp(prefix="mtm_scaling_")
-    events_dir = os.path.join(tmp, "events")
-    spark = get_spark("mtm-scaling-gen", master="local[32]")
-    amplified_events(spark, SF_DIR, AMPLIFY).repartition(64).write.parquet(events_dir)
-    spark.stop()
+    events_dir = os.environ.get("SPARK_GRAFT_EVENTS_DIR")
+    if not events_dir or not os.path.isdir(events_dir):
+        tmp = tempfile.mkdtemp(prefix="mtm_scaling_")
+        events_dir = os.path.join(tmp, "events")
+        spark = get_spark("mtm-scaling-gen", master="local[32]")
+        amplified_events(spark, SF_DIR, AMPLIFY).repartition(64).write.parquet(events_dir)
+        spark.stop()
+    print(f"events_dir={events_dir}")
 
     results = {}
     for cpus in LEVELS:

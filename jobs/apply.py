@@ -31,6 +31,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--shuffle-partitions", type=int, default=32)
     p.add_argument("--max-files-per-trigger", type=int, default=4)
     p.add_argument("--fail-epochs", default="", help="comma-sep epoch ids for chaos injection")
+    p.add_argument("--binlog-format", default="parquet", choices=("parquet", "json"))
+    p.add_argument("--buffer-transactions", action="store_true",
+                   help="cross-batch uuidBuffer (files may split transactions)")
+    p.add_argument("--txn-abandon-timeout", default=None,
+                   help="event-time bound evicting BEGIN-without-COMMIT state, e.g. '2 hours'")
+    p.add_argument("--hot-key-threshold", type=int, default=500_000)
+    p.add_argument("--hot-key-split", type=int, default=8)
     args = p.parse_args(argv)
 
     from mysql_time_machine_spark.config import EngineConfig
@@ -48,6 +55,11 @@ def main(argv: list[str] | None = None) -> int:
         shuffle_partitions=args.shuffle_partitions,
         max_files_per_trigger=args.max_files_per_trigger,
         fail_epochs=frozenset(int(x) for x in args.fail_epochs.split(",") if x),
+        binlog_format=args.binlog_format,
+        buffer_transactions=args.buffer_transactions,
+        txn_abandon_timeout=args.txn_abandon_timeout,
+        hot_key_threshold=args.hot_key_threshold,
+        hot_key_split=args.hot_key_split,
     )
     sink = ManifestParquetSink(spark, args.sink_root, n_buckets=args.buckets)
     job = ApplyJob(spark, args.binlog_dir, sink, cfg, checkpoint_dir=args.checkpoint)
