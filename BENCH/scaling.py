@@ -87,16 +87,32 @@ def main() -> int:
         spark.stop()
     print(f"events_dir={events_dir}")
 
-    results = {}
-    for cpus in LEVELS:
-        env = dict(os.environ, SPARK_DRIVER_MEMORY=os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--child", str(cpus), events_dir],
-            capture_output=True, text=True, cwd=REPO, timeout=3600, env=env,
-        )
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
-        print(line)
+    # interleave the two levels across ROUNDS separate JVMs and take the
+    # per-kernel best: this box's background load swings single runs 2-3x,
+    # and alternating levels decorrelates that noise from the level compare
+    rounds = int(os.environ.get("SPARK_GRAFT_ROUNDS", "2"))
+    results: dict[int, dict] = {}
+    for _ in range(rounds):
+        for cpus in LEVELS:
+            env = dict(os.environ, SPARK_DRIVER_MEMORY=os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child", str(cpus), events_dir],
+                capture_output=True, text=True, cwd=REPO, timeout=3600, env=env,
+            )
+            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+            r = json.loads(line)
+            print(line)
+            prev = results.get(cpus)
+            if prev is None:
+                results[cpus] = r
+            else:
+                for impl in ("pandas", "sorted", "sql"):
+                    if r[f"wall_sec_{impl}"] < prev[f"wall_sec_{impl}"]:
+                        prev[f"wall_sec_{impl}"] = r[f"wall_sec_{impl}"]
+                        prev[f"events_per_sec_{impl}"] = r[f"events_per_sec_{impl}"]
+                    prev[f"walls_{impl}"] = prev[f"walls_{impl}"] + r[f"walls_{impl}"]
+                prev["wall_sec"] = prev["wall_sec_pandas"]
+                prev["events_per_sec"] = prev["events_per_sec_pandas"]
 
     n, n4 = results[LEVELS[0]], results[LEVELS[1]]
     eff = (n4["events_per_sec"] / n["events_per_sec"]) / (LEVELS[1] / LEVELS[0])

@@ -248,6 +248,33 @@ def _q3_user_spend(spark, sf_dir):
     )
 
 
+def _q5_regional_revenue(spark, sf_dir):
+    """Multi-join muscle (TPC-H Q5 shape): revenue by nation within one
+    region, local suppliers only — dims broadcast, one shuffled fact join."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    dims = (
+        n.join(F.broadcast(r.where(F.col("r_name") == "ASIA")), n.n_regionkey == r.r_regionkey)
+        .select("n_nationkey", "n_name")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(dims), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
 def _events_enriched(spark, sf_dir):
     """Stream-static broadcast enrichment: events ⋈ customer dim."""
     ev = _t(spark, sf_dir, "events")
@@ -400,6 +427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f3_namespace_routing": _f3_namespace_routing,
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_user_spend": _q3_user_spend,
+        "q5_regional_revenue": _q5_regional_revenue,
         "events_enriched": _events_enriched,
         "dedup_exact": _dedup_exact,
         "dedup_fingerprint": _dedup_fingerprint,
@@ -629,6 +657,19 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT c_custkey) AS n_customers
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
+        """,
+        "q5_regional_revenue": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
+            GROUP BY n_name
         """,
         "events_enriched": """
             SELECT c_mktsegment, event_type, count(*) AS n,

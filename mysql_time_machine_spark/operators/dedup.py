@@ -342,7 +342,6 @@ def simhash_pairs(
     # leftmost-match dedup: chunk i is the pair's FIRST agreeing chunk
     a_chunks = _simhash_chunks(F.col("a_h"), n_chunks)
     b_chunks = _simhash_chunks(F.col("b_h"), n_chunks)
-    leftmost = F.lit(True)
     prior_all_differ = F.lit(True)
     lm = F.when(F.col("a.ci") == 0, F.lit(True))
     for i in range(1, n_chunks):
