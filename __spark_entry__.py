@@ -338,6 +338,19 @@ def _dedup_embedding(spark, sf_dir):
     return pairs.select("a_id", "b_id", F.round("cos", 6).alias("cos"))
 
 
+def _dedup_clusters(spark, sf_dir):
+    """Pairs -> clusters: connected components over the MinHash-LSH
+    near-dup graph; cluster_id = min reachable doc id (the keep-one-per-
+    cluster decision)."""
+    from mysql_time_machine_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    pairs = minhash_lsh_pairs(_t(spark, sf_dir, "documents"), n_hashes=16, bands=4, threshold=0.2)
+    return connected_components(pairs)
+
+
 def _dedup_embedding_ivf(spark, sf_dir):
     """Embedding near-dup blocked on the data-derived IVF centroid cell
     (no fixture label needed) — the 100-TB shape of dedup_embedding."""
@@ -435,6 +448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
         "dedup_simhash_pairs": _dedup_simhash_pairs,
+        "dedup_clusters": _dedup_clusters,
         "dedup_embedding": _dedup_embedding,
         "dedup_embedding_ivf": _dedup_embedding_ivf,
         "sim_bruteforce_topk": _sim_bruteforce_topk,
@@ -553,6 +567,28 @@ def oracle_sql() -> dict[str, str]:
         )
         + "]"
     )
+
+    # shared by dedup_minhash_lsh and dedup_clusters
+    _LSH_CTES = f"""sh AS (
+                SELECT doc_id AS id, {_sql_shingles()} AS sh FROM documents),
+            sig AS (
+                SELECT id, sh, {minhash_sig} AS mh
+                FROM (SELECT id, sh, list_transform(sh, s -> md5(s)) AS shm FROM sh)),
+            banded AS (
+                SELECT id, sh, bb.band AS band, bb.bucket AS bucket
+                FROM (SELECT id, sh, unnest({band_buckets}) AS bb FROM sig)),
+            cand AS (
+                SELECT DISTINCT a.id AS a_id, b.id AS b_id,
+                       any_value(a.sh) AS a_sh, any_value(b.sh) AS b_sh
+                FROM banded a JOIN banded b
+                  ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+                GROUP BY a.id, b.id)"""
+    _LSH_PAIRS_SELECT = """SELECT a_id, b_id,
+                   round(len(list_intersect(a_sh, b_sh))::DOUBLE /
+                         greatest(len(list_distinct(list_concat(a_sh, b_sh))), 1), 6) AS jaccard
+            FROM cand
+            WHERE len(list_intersect(a_sh, b_sh))::DOUBLE /
+                  greatest(len(list_distinct(list_concat(a_sh, b_sh))), 1) >= 0.2"""
 
     return {
         "cdc_replay_final_state": SQL_MODE_FINAL_STATE_SQL,
@@ -699,26 +735,25 @@ def oracle_sql() -> dict[str, str]:
             WHERE {jaccard} >= 0.2
         """,
         "dedup_minhash_lsh": f"""
-            WITH sh AS (
-                SELECT doc_id AS id, {shingles} AS sh FROM documents),
-            sig AS (
-                SELECT id, sh, {minhash_sig} AS mh
-                FROM (SELECT id, sh, list_transform(sh, s -> md5(s)) AS shm FROM sh)),
-            banded AS (
-                SELECT id, sh, bb.band AS band, bb.bucket AS bucket
-                FROM (SELECT id, sh, unnest({band_buckets}) AS bb FROM sig)),
-            cand AS (
-                SELECT DISTINCT a.id AS a_id, b.id AS b_id,
-                       any_value(a.sh) AS a_sh, any_value(b.sh) AS b_sh
-                FROM banded a JOIN banded b
-                  ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
-                GROUP BY a.id, b.id)
-            SELECT a_id, b_id,
-                   round(len(list_intersect(a_sh, b_sh))::DOUBLE /
-                         greatest(len(list_distinct(list_concat(a_sh, b_sh))), 1), 6) AS jaccard
-            FROM cand
-            WHERE len(list_intersect(a_sh, b_sh))::DOUBLE /
-                  greatest(len(list_distinct(list_concat(a_sh, b_sh))), 1) >= 0.2
+            WITH {_LSH_CTES}
+            {_LSH_PAIRS_SELECT}
+        """,
+        # clusters: recursive transitive closure over the SAME LSH pair
+        # graph (fine at oracle scale; the Spark side iterates min-label
+        # propagation instead)
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_LSH_CTES},
+            lsh_pairs AS ({_LSH_PAIRS_SELECT}),
+            edges AS (
+                SELECT a_id AS u, b_id AS v FROM lsh_pairs
+                UNION
+                SELECT b_id, a_id FROM lsh_pairs),
+            reach(u, v) AS (
+                SELECT u, v FROM edges
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+            SELECT u AS id, least(u, min(v)) AS cluster_id
+            FROM reach GROUP BY u
         """,
         "dedup_simhash": f"SELECT doc_id, {_sql_simhash()} AS simhash32 FROM documents",
         # the oracle is intentionally the naive quadratic join — it checks

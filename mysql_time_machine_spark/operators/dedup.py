@@ -392,6 +392,57 @@ def embedding_dup_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Near-dup PAIRS -> duplicate CLUSTERS: (id, cluster_id) where
+    cluster_id is the minimum doc id reachable through the pair graph —
+    the step that turns any pair generator above into a keep-one-per-
+    cluster dedup decision.
+
+    Iterative min-label propagation, pure DataFrame ops: each round every
+    vertex takes the min label among itself and its neighbors; converges
+    within the cluster diameter (near-dup clusters are shallow — exact
+    copies form cliques, chains are rare). The driver loop stops early on
+    a converged round. Each round is one broadcast-or-shuffle join + a
+    map-side-combined min aggregate; lineage stays linear in rounds. At
+    much larger diameters swap in the large-star/small-star contraction
+    (same per-round join shape, O(log n) rounds).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .unionByName(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        .distinct()
+    )
+    labels = edges.select(F.col("u").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    )
+    for _ in range(max_iters):
+        neighbor = (
+            edges.join(labels.withColumnRenamed("id", "u"), "u")
+            .select(F.col("v").alias("id"), "label")
+        )
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+        )
+        improved = (
+            new_labels.withColumnRenamed("label", "nl")
+            .join(labels, "id")
+            .where(F.col("nl") < F.col("label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if improved == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
 def embedding_dup_pairs_ivf(
     embeddings: DataFrame,
     threshold: float = 0.95,

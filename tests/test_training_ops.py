@@ -257,3 +257,19 @@ def test_frame_sample_plan(spark, docs):
     frames = frame_sample_plan(media, every_ms=10_000).toPandas()
     assert (frames["frame_ts_ms"] % 10_000 == 0).all()
     assert frames.groupby("media_id").size().min() >= 1
+
+
+def test_connected_components_chain_and_clique(spark):
+    """Pairs -> clusters: a 4-chain (diameter > 1 forces propagation
+    rounds), a triangle, and an isolated pair each resolve to min-id
+    cluster labels."""
+    from mysql_time_machine_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),        # chain 1-2-3-4
+         (10, 11), (11, 12), (10, 12),  # triangle
+         (20, 21)],                     # isolated pair
+        "a_id long, b_id long",
+    )
+    got = {r["id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
