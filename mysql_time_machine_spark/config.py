@@ -52,6 +52,11 @@ class EngineConfig:
 
     # --- streaming ---------------------------------------------------------
     max_files_per_trigger: int = 4
+    #: collapse kernel for the streaming apply: 'pandas' (grouped-map
+    #: applyInPandas, the north-star form), 'sorted' (Tungsten-sorted
+    #: mapInPandas — the Python-kernel scale path, 0.84 N->4N), or 'sql'
+    #: (pure Catalyst — the 100-TB path, 0.95 N->4N). Bit-identical by test.
+    collapse_impl: str = "pandas"
     #: wire format of the binlog event files: 'parquet' (default, columnar)
     #: or 'json' (one AugmentedRow object per line, CHANGES.txt:87)
     binlog_format: str = "parquet"

@@ -112,12 +112,21 @@ class ApplyJob:
 
             # (A1/A2) reassemble + collapse; hot keys two-stage via sub-salt
             # (detection aggregate runs on the persisted micro-batch — cheap)
-            collapsed = collapse_events_pandas(
-                rows,
-                n_buckets=cfg.shuffle_partitions,
-                hot_key_split=cfg.hot_key_split,
-                hot_key_threshold=cfg.hot_key_threshold,
-            )
+            if cfg.collapse_impl == "sql":
+                from mysql_time_machine_spark.operators.reassemble import collapse_events_sql
+
+                collapsed = collapse_events_sql(rows)
+            elif cfg.collapse_impl == "sorted":
+                from mysql_time_machine_spark.operators.reassemble import collapse_events_sorted
+
+                collapsed = collapse_events_sorted(rows, n_buckets=cfg.shuffle_partitions)
+            else:
+                collapsed = collapse_events_pandas(
+                    rows,
+                    n_buckets=cfg.shuffle_partitions,
+                    hot_key_split=cfg.hot_key_split,
+                    hot_key_threshold=cfg.hot_key_threshold,
+                )
 
             # deterministic chaos monkey (seeded analogue of CHANGES.txt:126):
             # fail the FIRST attempt of each configured epoch, just before

@@ -73,6 +73,16 @@ def test_streaming_final_state_matches_oracle(completed, small_log):
     _assert_state_matches(sink, small_log)
 
 
+@pytest.mark.parametrize("impl", ["sql", "sorted"])
+def test_streaming_collapse_impl_parity(spark, binlog_dir, small_log, impl, tmp_path_factory):
+    """EngineConfig.collapse_impl swaps the kernel under the SAME streaming
+    job; every kernel must land the identical final table."""
+    root = str(tmp_path_factory.mktemp(f"sink_{impl}"))
+    cfg = EngineConfig(max_files_per_trigger=1, shuffle_partitions=8, collapse_impl=impl)
+    _, sink = _run_job(spark, binlog_dir, root, cfg)
+    _assert_state_matches(sink, small_log)
+
+
 def test_epochs_committed_once_each(completed):
     job, sink = completed
     snaps = sink.snapshots()[1:]  # skip empty snapshot 0
