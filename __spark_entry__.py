@@ -413,6 +413,14 @@ def _text_fingerprint(spark, sf_dir):
     return docs.select("doc_id", fingerprint("text").alias("fp"))
 
 
+def _curate_verdicts(spark, sf_dir):
+    """Composed curation pipeline: exact-dup canonicalization + language
+    gate + quality gate, one verdict per document with the reason."""
+    from mysql_time_machine_spark.operators.curate import curate
+
+    return curate(_t(spark, sf_dir, "documents"), min_quality=0.5, langs=("en", "de"))
+
+
 def _mm_media_features(spark, sf_dir):
     from mysql_time_machine_spark.operators.multimodal import extract_features, media_from_documents
 
@@ -457,6 +465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _text_quality,
         "text_token_count": _text_token_count,
         "text_fingerprint": _text_fingerprint,
+        "curate_verdicts": _curate_verdicts,
         "mm_media_features": _mm_media_features,
     }
 
@@ -824,6 +833,21 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "text_fingerprint": f"SELECT doc_id, md5(array_to_string({t}, ' ')) AS fp FROM documents",
+        "curate_verdicts": f"""
+            WITH scored AS (
+                SELECT doc_id, md5(text) AS m,
+                       {_sql_langid()} AS lang_guess,
+                       round({quality}, 6) AS quality
+                FROM documents),
+            canon AS (SELECT m, min(doc_id) AS c FROM scored GROUP BY m)
+            SELECT doc_id,
+                   CASE WHEN doc_id != c THEN 'dup'
+                        WHEN lang_guess NOT IN ('en', 'de') THEN 'lang'
+                        WHEN quality < 0.5 THEN 'quality'
+                        ELSE 'keep' END AS verdict,
+                   lang_guess, quality
+            FROM scored JOIN canon USING (m)
+        """,
         "mm_media_features": """
             SELECT doc_id AS media_id,
                    CASE WHEN doc_id % 3 = 0 THEN 'image'

@@ -273,3 +273,26 @@ def test_connected_components_chain_and_clique(spark):
     )
     got = {r["id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_curate_verdict_precedence(spark):
+    """dup beats lang beats quality; canonical copy keeps its own verdict."""
+    from mysql_time_machine_spark.operators.curate import curate
+
+    good = ("the quick brown fox jumps over the lazy dog and runs to the river "
+            "with the happy children for a long day of play in the sun") * 1
+    d = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=good),
+            Row(doc_id=2, text=good),              # exact dup of 1 -> 'dup'
+            Row(doc_id=3, text="der hund und die katze sind auf der wiese und das ist von einem haus mit garten zu sehen ein guter tag"),
+            Row(doc_id=4, text="el perro y el gato que es de la casa con un es por en la calle"),  # es -> 'lang'
+            # english but degenerate: too short + all-stopword -> 'quality'
+            Row(doc_id=5, text="the and of to in is that"),
+        ]
+    )
+    got = {r["doc_id"]: r["verdict"] for r in curate(d, langs=("en", "de")).collect()}
+    assert got[1] == "keep" and got[2] == "dup"
+    assert got[3] == "keep"
+    assert got[4] == "lang"
+    assert got[5] == "quality"
