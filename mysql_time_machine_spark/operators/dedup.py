@@ -176,12 +176,17 @@ def minhash_lsh_pairs(
     # materialize shingles ONCE; the k hash passes then transform the
     # md5-digest array (short fixed-width strings), never the raw text —
     # without this projection boundary Catalyst re-derives the shingle
-    # array for every consumer (no CSE across array HOFs)
+    # array for every consumer (no CSE across array HOFs). The raw shingle
+    # strings are dropped here: verification Jaccard runs on the DIGEST
+    # arrays (md5 is injective on distinct shingles for all practical
+    # purposes, so intersect/union counts — and hence the Jaccard value —
+    # are identical), which shrinks the persisted/verified payload to
+    # fixed 32-char strings regardless of shingle length.
     sh_df = docs.select(F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh"))
-    shm_df = sh_df.select("id", "sh", F.transform("sh", lambda s: F.md5(s)).alias("shm"))
+    shm_df = sh_df.select("id", F.transform("sh", lambda s: F.md5(s)).alias("shm"))
     sig = shm_df.select(
         "id",
-        "sh",
+        "shm",
         F.array(
             *[
                 F.array_min(F.transform("shm", lambda m: F.md5(F.concat(F.lit(f"{k}:"), m))))
@@ -218,10 +223,10 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
         .distinct()
     )
-    sh_only = sig.select("id", "sh")
+    sh_only = sig.select("id", "shm")
     verified = (
-        cand.join(sh_only.select(F.col("id").alias("a_id"), F.col("sh").alias("a_sh")), "a_id")
-        .join(sh_only.select(F.col("id").alias("b_id"), F.col("sh").alias("b_sh")), "b_id")
+        cand.join(sh_only.select(F.col("id").alias("a_id"), F.col("shm").alias("a_sh")), "a_id")
+        .join(sh_only.select(F.col("id").alias("b_id"), F.col("shm").alias("b_sh")), "b_id")
     )
     inter = F.size(F.array_intersect("a_sh", "b_sh"))
     union = F.size(F.array_union("a_sh", "b_sh"))
