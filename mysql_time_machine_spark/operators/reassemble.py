@@ -408,7 +408,19 @@ def collapse_events_sql(events: DataFrame) -> DataFrame:
             "repo",
             "path",
             F.col("_last.op").alias("row_status"),
-            F.when(F.col("_last.op") == "D", F.lit(None).cast("map<string,string>")).otherwise(F.col("image")).alias("image"),
+            # a live key with NO surviving cells (e.g. an INSERT carrying an
+            # empty post-image) is an EMPTY map, not NULL — only deletes are
+            # NULL (kernel-equality invariant with the pandas kernels)
+            F.when(
+                F.col("_last.op") == "D", F.lit(None).cast("map<string,string>")
+            ).otherwise(
+                F.coalesce(
+                    F.col("image"),
+                    F.map_from_arrays(
+                        F.array().cast("array<string>"), F.array().cast("array<string>")
+                    ),
+                )
+            ).alias("image"),
             # a surviving I/D means the image is the FULL post-reset row
             # state: the sink replaces instead of cell-merging
             F.col("_last_reset").isNotNull().alias("full_image"),
