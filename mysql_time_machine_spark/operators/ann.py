@@ -129,6 +129,46 @@ def assign_centroids(
     return _assign(embeddings, cents, id_col, vec_col)
 
 
+def assign_centroids_topp(
+    embeddings: DataFrame,
+    nlist: int = 8,
+    probes: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Multi-probe assignment: one row per (vector, cell) for the vector's
+    ``probes`` closest centroid cells — the standard IVF recall lever (a
+    near-dup pair straddling two cells is recovered once either member
+    probes the other's home cell).
+
+    Same broadcast cross-join as ``assign_centroids``; the top-p selection
+    is a per-key ``collect_list`` of at most nlist (tiny) scored structs,
+    array-sorted and sliced — no Sort/Window over the data, and the
+    exchange still carries one aggregated row per vector before the
+    explode. Tie-break matches ``assign_centroids``: (cscore desc,
+    centroid_id asc), so probes=1 reproduces it exactly."""
+    cents = centroids if centroids is not None else seed_centroids(embeddings, nlist, id_col, vec_col)
+    scored = embeddings.crossJoin(F.broadcast(cents)).withColumn(
+        "cscore", cosine(F.col(vec_col), F.col("centroid_vec"))
+    )
+    top = scored.groupBy(id_col).agg(
+        F.any_value(vec_col).alias(vec_col),
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.struct((-F.col("cscore")).alias("ns"), F.col("centroid_id").alias("cid"))
+                )
+            ),
+            1,
+            probes,
+        ).alias("tops"),
+    )
+    return top.select(
+        F.col(id_col), F.col(vec_col), F.explode("tops.cid").alias("centroid_id")
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec: list[float],

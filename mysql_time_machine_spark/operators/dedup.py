@@ -31,8 +31,6 @@ Scale notes (the part that matters at 100 TB):
 
 from __future__ import annotations
 
-import tempfile
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -167,10 +165,20 @@ def minhash_lsh_pairs(
 
     Cache lifecycle: the (id, shingles, signature) projection is persisted
     only for the duration of THIS call — the verified pair table (tiny vs
-    the corpus) is staged to ``staging_dir`` (a temp dir by default; on a
-    real cluster pass a shared path, e.g. HDFS/S3) and the cache is
-    released before returning, so no executor memory stays pinned after
-    the operator completes.
+    the corpus) is materialized and the signature cache is released before
+    returning, so no executor memory stays pinned after the operator
+    completes. Materialization strategy:
+
+    * no ``staging_dir`` (default) — ``localCheckpoint``: blocks live in
+      EXECUTOR storage (memory+disk), correct on any master — unlike a
+      driver-local temp path, which on a multi-node cluster would collect
+      each executor's task files on different machines. No temp dir is
+      created or leaked. Caveat: localCheckpoint blocks don't survive
+      executor loss; pass ``staging_dir`` for fault-tolerant staging.
+    * ``staging_dir`` given — staged as Parquet there. Must be a SHARED
+      filesystem (HDFS/S3) on a multi-node cluster; the caller owns the
+      directory's lifecycle (it is NOT auto-deleted — the returned
+      DataFrame reads from it lazily).
     """
     rows_per_band = n_hashes // bands
     # materialize shingles ONCE; the k hash passes then transform the
@@ -237,12 +245,13 @@ def minhash_lsh_pairs(
     # materialize the (small) verified pair table, then drop the signature
     # cache — one computation of the shingle/signature projection total,
     # zero cached RDDs left behind
-    stage = staging_dir or tempfile.mkdtemp(prefix="mtm_lsh_pairs_")
     try:
-        out.write.mode("overwrite").parquet(stage)
+        if staging_dir is not None:
+            out.write.mode("overwrite").parquet(staging_dir)
+            return docs.sparkSession.read.parquet(staging_dir)
+        return out.localCheckpoint(eager=True)
     finally:
         sig.unpersist()
-    return docs.sparkSession.read.parquet(stage)
 
 
 # ---------------------------------------------------------------------------
@@ -304,25 +313,40 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs where hamming(simhash_a, simhash_b) <= max_hamming.
 
-    Pigeonhole banding: the fingerprint is split into (max_hamming + 1)
-    bit-chunks; two fingerprints within Hamming distance max_hamming differ
-    in at most max_hamming chunks, so they MUST agree on at least one —
-    candidates therefore come from an equi-join on (chunk_idx, chunk_value)
-    (plus block_cols), exactly the MinHash-LSH join shape. Never an
-    all-pairs scan.
+    Stage 0 — REPRESENTATIVE COLLAPSE: web corpora are dup-dense (at sf0.1,
+    2,051 of 5,000 docs share ONE fingerprint), and banding raw doc rows
+    gives any identical-fingerprint group of n docs a C(n,2) candidate
+    floor — a skewed self-join hotspot at 100 TB. So banding runs over the
+    DISTINCT (block, fingerprint) groups only: candidate volume is
+    quadratic in *distinct* fingerprints per bucket, never in docs. The
+    true pairs inside / between the groups are reconstructed afterwards by
+    two equi-joins through the group->members map — that expansion emits
+    exactly the output rows, no over-generation. (Same partial/final trick
+    as the collapse kernels.)
 
-    A pair agreeing on several chunks would match several times; the
+    Stage 1 — pigeonhole banding over the group representatives: the
+    fingerprint is split into (max_hamming + 1) bit-chunks; two
+    fingerprints within Hamming distance max_hamming differ in at most
+    max_hamming chunks, so they MUST agree on at least one — candidates
+    come from an equi-join on (chunk_idx, chunk_value) (plus block_cols),
+    exactly the MinHash-LSH join shape. Never an all-pairs scan. A group
+    pair agreeing on several chunks would match several times; the
     LEFTMOST-MATCH filter (keep a match at chunk i only when every chunk
     j < i DIFFERS — pure bit ops on the two fingerprints already in hand)
-    makes each pair survive exactly once, so no distinct/aggregate pass is
-    needed: join -> codegen'd filter -> done, one stage.
+    makes each group pair survive exactly once, so no distinct pass.
+
+    ``base`` (id, block, h — a few bytes per doc) is localCheckpoint-ed so
+    the simhash projection runs ONCE for its three consumers (group agg +
+    the two member-expansion joins); blocks are freed when the DataFrame
+    is GC'd.
     """
     n_chunks = max_hamming + 1
     base = docs.select(
         F.col(id_col).alias("id"), *[F.col(c) for c in block_cols], simhash(text_col).alias("h")
-    )
-    chunked = base.select(
-        "id", *block_cols, "h",
+    ).localCheckpoint(eager=True)
+    groups = base.groupBy(*block_cols, "h").agg(F.min("id").alias("rep_id"))
+    chunked = groups.select(
+        "rep_id", *block_cols, "h",
         F.explode(
             F.array(
                 *[
@@ -331,20 +355,20 @@ def simhash_pairs(
                 ]
             )
         ).alias("c"),
-    ).select("id", *block_cols, "h", "c.ci", "c.cv")
+    ).select("rep_id", *block_cols, "h", "c.ci", "c.cv")
     a = chunked.select(
-        F.col("id").alias("a_id"), *[F.col(c).alias(f"a_{c}") for c in block_cols],
+        F.col("rep_id").alias("a_rep"), *[F.col(c).alias(f"a_{c}") for c in block_cols],
         F.col("h").alias("a_h"), "ci", "cv",
     )
     b = chunked.select(
-        F.col("id").alias("b_id"), *[F.col(c).alias(f"b_{c}") for c in block_cols],
+        F.col("rep_id").alias("b_rep"), *[F.col(c).alias(f"b_{c}") for c in block_cols],
         F.col("h").alias("b_h"), "ci", "cv",
     )
     cond = F.col("a.ci") == F.col("b.ci")
     cond = cond & (F.col("a.cv") == F.col("b.cv"))
     for c in block_cols:
         cond = cond & (F.col(f"a_{c}") == F.col(f"b_{c}"))
-    # leftmost-match dedup: chunk i is the pair's FIRST agreeing chunk
+    # leftmost-match dedup: chunk i is the group pair's FIRST agreeing chunk
     a_chunks = _simhash_chunks(F.col("a_h"), n_chunks)
     b_chunks = _simhash_chunks(F.col("b_h"), n_chunks)
     prior_all_differ = F.lit(True)
@@ -353,16 +377,55 @@ def simhash_pairs(
         prior_all_differ = prior_all_differ & (a_chunks[i - 1] != b_chunks[i - 1])
         lm = lm.when(F.col("a.ci") == i, prior_all_differ)
     leftmost = lm.otherwise(F.lit(False))
-    return (
+    group_pairs = (
         a.alias("a")
         .join(b.alias("b"), cond)
-        .where((F.col("a_id") < F.col("b_id")) & leftmost)
+        .where((F.col("a_rep") < F.col("b_rep")) & leftmost)
         .select(
-            "a_id", "b_id",
+            *[F.col(f"a_{c}").alias(c) for c in block_cols],
+            "a_h", "b_h",
             F.bit_count(F.col("a_h").bitwiseXOR(F.col("b_h"))).alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
     )
+    # expand group pairs back to member pairs: two equi-joins through the
+    # (block, h) -> ids map; groups are disjoint, so least/greatest emits
+    # each unordered pair exactly once
+    members = base
+    cross = group_pairs
+    for side in ("a", "b"):
+        m = members.select(
+            F.col("id").alias(f"{side}_id"),
+            *[F.col(c).alias(f"{side}m_{c}") for c in block_cols],
+            F.col("h").alias(f"{side}m_h"),
+        )
+        on = F.col(f"{side}m_h") == F.col(f"{side}_h")
+        for c in block_cols:
+            on = on & (F.col(f"{side}m_{c}") == F.col(c))
+        cross = cross.join(m, on)
+    cross = cross.select(
+        F.least("a_id", "b_id").alias("a_id"),
+        F.greatest("a_id", "b_id").alias("b_id"),
+        "hamming",
+    )
+    # pairs WITHIN an identical-fingerprint group (hamming 0): one
+    # equi-join on (block, h) — output-bound, these ARE true pairs
+    ml = members.select(
+        F.col("id").alias("a_id"), *block_cols, F.col("h").alias("h")
+    )
+    mr = members.select(
+        F.col("id").alias("b_id"), *[F.col(c).alias(f"r_{c}") for c in block_cols],
+        F.col("h").alias("r_h"),
+    )
+    icond = F.col("h") == F.col("r_h")
+    for c in block_cols:
+        icond = icond & (F.col(c) == F.col(f"r_{c}"))
+    intra = (
+        ml.join(mr, icond)
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", F.lit(0).cast("int").alias("hamming"))
+    )
+    return intra.unionByName(cross.select("a_id", "b_id", F.col("hamming").cast("int")))
 
 
 # ---------------------------------------------------------------------------
@@ -412,39 +475,55 @@ def connected_components(
     vertex takes the min label among itself and its neighbors; converges
     within the cluster diameter (near-dup clusters are shallow — exact
     copies form cliques, chains are rare). The driver loop stops early on
-    a converged round. Each round is one broadcast-or-shuffle join + a
-    map-side-combined min aggregate; lineage stays linear in rounds. At
-    much larger diameters swap in the large-star/small-star contraction
-    (same per-round join shape, O(log n) rounds).
+    a converged round.
+
+    Scale hygiene (the part that matters on deep graphs): ``edges`` is
+    persisted ONCE; each round's labels are ``localCheckpoint``-ed, which
+    (a) materializes the round in the same single action the convergence
+    probe then reads (the old label rides along as an ``old`` column, so
+    no second full recompute), and (b) CUTS LINEAGE — round k's plan is
+    scan(checkpointed labels) + one join + one map-side-combined min, a
+    constant-depth plan instead of a k-deep chain re-run from scratch
+    (O(k) total work, not O(k^2)). Previous generations' blocks are freed
+    by the context cleaner when the superseded DataFrame is GC'd. At much
+    larger diameters swap in the large-star/small-star contraction (same
+    per-round join shape, O(log n) rounds).
     """
     edges = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .unionByName(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
         .distinct()
     )
-    labels = edges.select(F.col("u").alias("id")).distinct().withColumn(
-        "label", F.col("id")
-    )
-    for _ in range(max_iters):
-        neighbor = (
-            edges.join(labels.withColumnRenamed("id", "u"), "u")
-            .select(F.col("v").alias("id"), "label")
+    edges.persist()
+    try:
+        labels = (
+            edges.select(F.col("u").alias("id"))
+            .distinct()
+            .withColumn("label", F.col("id"))
+            .localCheckpoint(eager=True)
         )
-        new_labels = (
-            labels.unionByName(neighbor)
-            .groupBy("id")
-            .agg(F.min("label").alias("label"))
-        )
-        improved = (
-            new_labels.withColumnRenamed("label", "nl")
-            .join(labels, "id")
-            .where(F.col("nl") < F.col("label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if improved == 0:
-            break
+        label_t = labels.schema["label"].dataType
+        for _ in range(max_iters):
+            neighbor = (
+                edges.join(labels.withColumnRenamed("id", "u"), "u")
+                .select(F.col("v").alias("id"), "label")
+                .withColumn("old", F.lit(None).cast(label_t))
+            )
+            new_labels = (
+                labels.withColumn("old", F.col("label"))
+                .unionByName(neighbor)
+                .groupBy("id")
+                # min(old) = the row's previous label (each id contributes
+                # exactly one non-null old) — carried so convergence is
+                # read off the materialized round, not a second action
+                .agg(F.min("label").alias("label"), F.min("old").alias("old"))
+            ).localCheckpoint(eager=True)
+            improved = new_labels.where(F.col("label") < F.col("old")).limit(1).count()
+            labels = new_labels.drop("old")
+            if improved == 0:
+                break
+    finally:
+        edges.unpersist()
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 
@@ -452,29 +531,46 @@ def embedding_dup_pairs_ivf(
     embeddings: DataFrame,
     threshold: float = 0.95,
     nlist: int = 8,
+    probes: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
 ) -> DataFrame:
     """The scale path for embedding near-dup: block on the IVF centroid
-    assignment (``assign_centroids``) instead of a fixture label — the
-    equi-join key is data-derived, so this works on any corpus. Approximate
-    in the standard IVF sense: a pair straddling two centroid cells is
-    missed (raise nlist quality via kmeans_centroids, or multi-probe, to
-    tighten recall). Brute force only inside cells, which the assignment
-    keeps balanced."""
-    from mysql_time_machine_spark.operators.ann import assign_centroids
+    assignment instead of a fixture label — the equi-join key is
+    data-derived, so this works on any corpus. Brute force only inside
+    cells, which the assignment keeps balanced.
 
-    assigned = assign_centroids(embeddings, nlist, id_col, vec_col, centroids=centroids)
-    a = assigned.select(
+    Recall: approximate in the standard IVF sense. At ``probes=1`` a pair
+    straddling two centroid cells is missed; ``probes>1`` is the standard
+    multi-probe lever — the probe side is assigned to its top-``probes``
+    cells (``assign_centroids_topp``), so a straddling pair is recovered
+    once either member probes the other's HOME cell. The join stays a
+    plain equi-join on centroid_id; candidates are normalized to
+    (least, greatest) and de-duplicated after the threshold filter (cosine
+    is evaluated with identical per-element order both orientations, so
+    the value is bit-equal and distinct is exact). probes=1 reproduces the
+    single-probe pair set exactly."""
+    from mysql_time_machine_spark.operators.ann import assign_centroids, assign_centroids_topp
+
+    probe_side = assign_centroids_topp(
+        embeddings, nlist, probes=probes, id_col=id_col, vec_col=vec_col, centroids=centroids
+    )
+    home_side = assign_centroids(embeddings, nlist, id_col, vec_col, centroids=centroids)
+    a = probe_side.select(
         F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_v"), "centroid_id"
     )
-    b = assigned.select(
+    b = home_side.select(
         F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_v"), "centroid_id"
     )
     return (
         a.join(b, "centroid_id")
-        .where(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", cosine("a_v", "b_v").alias("cos"))
+        .where(F.col("a_id") != F.col("b_id"))
+        .select(
+            F.least("a_id", "b_id").alias("a_id"),
+            F.greatest("a_id", "b_id").alias("b_id"),
+            cosine("a_v", "b_v").alias("cos"),
+        )
         .where(F.col("cos") >= threshold)
+        .distinct()
     )

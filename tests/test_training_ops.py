@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import hashlib
+import os
 import re
 
 import pytest
@@ -273,6 +274,136 @@ def test_connected_components_chain_and_clique(spark):
     )
     got = {r["id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_constant_plan_depth(spark):
+    """Deep-graph hygiene: a 12-chain needs 11 propagation rounds; the
+    localCheckpoint per round must (a) still converge to the right labels
+    and (b) keep the returned plan CONSTANT-DEPTH — a scan of the last
+    checkpointed round, not an 11-deep join/agg lineage chain."""
+    from mysql_time_machine_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 111)], "a_id long, b_id long"
+    )
+    out = connected_components(chain, max_iters=20)
+    got = {r["id"]: r["cluster_id"] for r in out.collect()}
+    assert got == {i: 100 for i in range(100, 112)}
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # lineage was cut: the plan reads the checkpointed RDD, and contains
+    # no Join/Aggregate chain from the 11 propagation rounds
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan
+    assert "Join" not in plan
+    assert len(plan) < 2000
+
+
+def test_simhash_pairs_zipf_dup_skew(spark):
+    """Dup-dense corpora: one mega-group of identical fingerprints plus
+    near-dups. The representative-collapsed banding must produce EXACTLY
+    the naive quadratic pair set (ids + hamming), including all
+    C(n,2) intra-group pairs and the cross-group near-dup pairs."""
+    from mysql_time_machine_spark.operators.dedup import simhash_pairs
+
+    mega = "the quick brown fox jumps over the lazy dog near the river bank today"
+    near = mega.replace("today", "tonight")
+    other = "completely unrelated legal boilerplate paragraph about insurance claims"
+    rows = (
+        [Row(doc_id=i, lang="en", text=mega) for i in range(30)]
+        + [Row(doc_id=100 + i, lang="en", text=near) for i in range(5)]
+        + [Row(doc_id=200, lang="en", text=other),
+           Row(doc_id=201, lang="de", text=mega)]  # other block: no cross-lang pair
+    )
+    d = spark.createDataFrame(rows)
+
+    def py_simhash(text):
+        toks = sorted({t for t in re.split(r"[^a-z0-9]+", text.lower()) if t})
+        hs = [int(hashlib.md5(t.encode()).hexdigest()[:8], 16) for t in toks]
+        return sum(
+            1 << bit
+            for bit in range(32)
+            if sum(1 if (h >> bit) & 1 else -1 for h in hs) > 0
+        )
+
+    max_h = 8
+    fps = [(r.doc_id, r.lang, py_simhash(r.text)) for r in rows]
+    expected = {
+        (a_id, b_id, bin(ah ^ bh).count("1"))
+        for i, (a_id, al, ah) in enumerate(fps)
+        for (b_id, bl, bh) in fps[i + 1 :]
+        if al == bl and bin(ah ^ bh).count("1") <= max_h
+    }
+    assert len(expected) > 30 * 29 // 2  # intra-mega-group plus cross pairs
+    got = {
+        (r["a_id"], r["b_id"], r["hamming"])
+        for r in simhash_pairs(d, max_hamming=max_h).collect()
+    }
+    assert got == expected
+
+
+def test_minhash_lsh_default_staging_no_tempdir(spark, docs, tmp_path):
+    """Default staging is executor-storage localCheckpoint: correct on any
+    master, and no driver-local temp directory is created or leaked. An
+    explicit staging_dir still stages Parquet there (shared-FS path)."""
+    import glob
+    import tempfile
+
+    sample = docs.limit(30)
+    dup = sample.limit(1).withColumn("doc_id", F.lit(10_002).cast("long"))
+    before = set(glob.glob(os.path.join(tempfile.gettempdir(), "mtm_lsh_pairs_*")))
+    pairs = minhash_lsh_pairs(sample.unionByName(dup), threshold=0.9)
+    got = {(r["a_id"], r["b_id"]) for r in pairs.collect()}
+    after = set(glob.glob(os.path.join(tempfile.gettempdir(), "mtm_lsh_pairs_*")))
+    assert after == before
+    assert any(b == 10_002 for _, b in got)
+
+    stage = str(tmp_path / "lsh_stage")
+    staged = minhash_lsh_pairs(sample.unionByName(dup), threshold=0.9, staging_dir=stage)
+    assert {(r["a_id"], r["b_id"]) for r in staged.collect()} == got
+    assert glob.glob(os.path.join(stage, "*.parquet"))
+
+
+def test_assign_centroids_topp_p1_matches_single(spark, emb):
+    from mysql_time_machine_spark.operators.ann import assign_centroids_topp
+
+    single = {(r["vec_id"], r["centroid_id"]) for r in assign_centroids(emb, nlist=8).collect()}
+    topp = {
+        (r["vec_id"], r["centroid_id"])
+        for r in assign_centroids_topp(emb, nlist=8, probes=1).collect()
+    }
+    assert topp == single
+
+
+def test_embedding_dup_pairs_ivf_multiprobe_recall(spark):
+    """A near-dup pair straddling two centroid cells is missed at probes=1
+    and recovered at probes=2; probes=2 output is a superset of probes=1
+    and a subset of brute force."""
+    from mysql_time_machine_spark.operators.dedup import (
+        embedding_dup_pairs,
+        embedding_dup_pairs_ivf,
+    )
+
+    # seed centroids = vec_id 0/1 -> cells along each axis; 2 and 3 are a
+    # close pair (cos ~ 0.9945) homed in DIFFERENT cells
+    d = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.0, 1.0]),
+            (2, [1.0, 0.9]),
+            (3, [0.9, 1.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    kw = dict(threshold=0.99, nlist=2)
+    p1 = {(r["a_id"], r["b_id"]) for r in embedding_dup_pairs_ivf(d, probes=1, **kw).collect()}
+    p2 = {(r["a_id"], r["b_id"]) for r in embedding_dup_pairs_ivf(d, probes=2, **kw).collect()}
+    brute = {
+        (r["a_id"], r["b_id"])
+        for r in embedding_dup_pairs(d, threshold=0.99, block_col=None).collect()
+    }
+    assert (2, 3) not in p1
+    assert (2, 3) in p2
+    assert p1 <= p2 <= brute
+    assert p2 == brute  # at probes=2 of 2 cells, recall is total here
 
 
 def test_curate_verdict_precedence(spark):
