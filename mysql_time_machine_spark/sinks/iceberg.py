@@ -27,6 +27,13 @@ silently diverge: full_image rows replace the whole row (a NULL cell in
 the image really becomes NULL), partial rows update exactly the cells
 present in the image map (a cell may be SET to NULL; absent cells keep
 their value).
+
+Every DDL/SQL statement the sink issues is produced by the PURE builder
+functions below (``bootstrap_statements``, ``merge_statement``,
+``changelog_replay_statements``, ``column_props_statement``) — the
+jarless unit tests (tests/test_merge_logic.py pattern) assert the exact
+ordered statement text, which is how the jar-gated path stays honest
+without a catalog in the sandbox.
 """
 
 from __future__ import annotations
@@ -46,6 +53,18 @@ from mysql_time_machine_spark.sinks.merge_logic import (
     materialize_batch,
 )
 
+#: property key under which the sink persists its RICH engine column types
+#: (time2 / latin1 / enum decode to STRING in the Iceberg schema, so the
+#: schema alone cannot restore them on a cold restart)
+COLUMNS_PROP = "mtm.columns"
+
+#: Iceberg DDL type per engine type; rich textual types land as STRING
+DDL_TYPES = {"string": "STRING", "long": "BIGINT", "int": "INT", "timestamp": "TIMESTAMP", "double": "DOUBLE"}
+
+#: reverse map for the last-resort schema fallback; anything unmapped
+#: (DATE, DECIMAL, ...) degrades to the KV-cell string form
+REV_TYPES = {"string": "string", "bigint": "long", "int": "int", "timestamp": "timestamp", "double": "double"}
+
 
 def iceberg_available(spark: SparkSession) -> bool:
     try:
@@ -53,6 +72,62 @@ def iceberg_available(spark: SparkSession) -> bool:
         return True
     except Exception:  # noqa: BLE001
         return False
+
+
+# ---------------------------------------------------------------------------
+# Pure statement builders — unit-testable without the jar
+# ---------------------------------------------------------------------------
+
+
+def bootstrap_statements(table: str, fence_table: str) -> list[str]:
+    """Ordered DDL issued at sink construction. The changelog table is
+    created HERE, beside the fence table — the first epoch that carries a
+    changelog on a fresh catalog must not die on table-not-found. Hidden
+    partitioning days(ts) gives partition-pruned daily-changes reads
+    (the yyyymmdd analogue, CHANGES.txt:123,111,55)."""
+    return [
+        f"CREATE TABLE IF NOT EXISTS {fence_table} "
+        "(job_id STRING, epoch_id BIGINT, max_gtid_seq BIGINT, lineage STRING) USING iceberg",
+        f"CREATE TABLE IF NOT EXISTS {table}_changelog "
+        "(repo STRING, path STRING, op STRING, gtid_seq BIGINT, log_file STRING, "
+        "log_pos BIGINT, ts TIMESTAMP, schema_version INT, day_utc STRING, epoch_id BIGINT) "
+        "USING iceberg PARTITIONED BY (days(ts))",
+    ]
+
+
+def add_column_statement(table: str, name: str, engine_type: str) -> str:
+    return f"ALTER TABLE {table} ADD COLUMN {name} {DDL_TYPES.get(engine_type, 'STRING')}"
+
+
+def column_props_statement(table: str, business_columns: list[tuple[str, str]]) -> str:
+    """Persist the rich engine types in table properties so a job restart
+    that merges BEFORE any DDL arrives still decodes time2/latin1/enum
+    cells (the Iceberg schema alone stores only the decoded STRING shape)."""
+    payload = json.dumps([list(c) for c in business_columns]).replace("'", "''")
+    return f"ALTER TABLE {table} SET TBLPROPERTIES ('{COLUMNS_PROP}' = '{payload}')"
+
+
+def merge_statement(table: str, business_columns: list[tuple[str, str]]) -> str:
+    insert_cols = ["repo", "path", "row_status", "gtid_seq", "schema_version", "updated_ts"] + [
+        c for c, _ in business_columns
+    ]
+    return (
+        f"MERGE INTO {table} t\n"
+        "USING _mtm_batch b\n"
+        "ON t.repo = b.repo AND t.path = b.path\n"
+        f"WHEN MATCHED AND {MATCHED_DELETE_COND} THEN DELETE\n"
+        f"WHEN MATCHED AND {MATCHED_UPDATE_COND} THEN UPDATE SET\n"
+        f"  {iceberg_matched_set_sql(business_columns)}\n"
+        f"WHEN NOT MATCHED AND {NOT_MATCHED_INSERT_COND} THEN\n"
+        f"  INSERT ({', '.join(insert_cols)})\n"
+        f"  VALUES ({', '.join('b.' + c for c in insert_cols)})"
+    )
+
+
+def changelog_replay_statements(table: str, epoch_id: int) -> list[str]:
+    """Idempotent-per-epoch changelog: delete the epoch's rows, then append
+    (the append itself is a DataFrame writeTo, not SQL)."""
+    return [f"DELETE FROM {table}_changelog WHERE epoch_id = {epoch_id}"]
 
 
 class IcebergSink(Sink):
@@ -68,10 +143,8 @@ class IcebergSink(Sink):
         self.table = table
         self.fence_table = fence_table or f"{table}_fence"
         self.job_id = job_id
-        spark.sql(
-            f"CREATE TABLE IF NOT EXISTS {self.fence_table} "
-            "(job_id STRING, epoch_id BIGINT, max_gtid_seq BIGINT, lineage STRING) USING iceberg"
-        )
+        for stmt in bootstrap_statements(self.table, self.fence_table):
+            spark.sql(stmt)
 
     def last_epoch(self) -> int:
         row = self.spark.sql(
@@ -81,24 +154,35 @@ class IcebergSink(Sink):
 
     def evolve_schema(self, business_columns: list[tuple[str, str]], registry: list[dict] | None = None) -> None:
         existing = {f.name for f in self.spark.table(self.table).schema.fields}
-        typ = {"string": "STRING", "long": "BIGINT", "int": "INT", "timestamp": "TIMESTAMP", "double": "DOUBLE"}
         for name, t in business_columns:
             if name not in existing:
-                # rich types (time2 / latin1 / enum) decode to STRING
-                ddl_t = typ.get(t, "STRING")
-                self.spark.sql(f"ALTER TABLE {self.table} ADD COLUMN {name} {ddl_t}")
-        # remember the RICH engine types: the Iceberg schema only stores the
-        # decoded (string) shape, but materialize_batch needs time2/latin1/
-        # enum to run the P2-P6 canonicalizers
+                self.spark.sql(add_column_statement(self.table, name, t))
+        # remember the RICH engine types twice: in-process for this job, and
+        # in table properties for a restarted job whose first epoch merges
+        # before any DDL event re-populates the registry
         self._columns = [tuple(c) for c in business_columns]
+        self.spark.sql(column_props_statement(self.table, self._columns))
 
     def _business_columns(self) -> list[tuple[str, str]]:
         if getattr(self, "_columns", None):
             return self._columns
+        # cold restart: restore the rich engine types from table properties
+        try:
+            props = {
+                r["key"]: r["value"]
+                for r in self.spark.sql(f"SHOW TBLPROPERTIES {self.table}").collect()
+            }
+            if COLUMNS_PROP in props:
+                self._columns = [tuple(c) for c in json.loads(props[COLUMNS_PROP])]
+                return self._columns
+        except Exception:  # noqa: BLE001 — property read is best-effort
+            pass
+        # last resort: reverse-map the Iceberg schema. Rich types degrade to
+        # their decoded string shape; unmapped Iceberg types degrade to
+        # 'string' (the KV-cell form) instead of raising
         skip = {"repo", "path", "row_status", "gtid_seq", "schema_version", "updated_ts"}
-        rev = {"string": "string", "bigint": "long", "int": "int", "timestamp": "timestamp", "double": "double"}
         return [
-            (f.name, rev[f.dataType.simpleString()])
+            (f.name, REV_TYPES.get(f.dataType.simpleString(), "string"))
             for f in self.spark.table(self.table).schema.fields
             if f.name not in skip
         ]
@@ -112,27 +196,13 @@ class IcebergSink(Sink):
         # the matched-set CASEs test map_contains_key to distinguish
         # "cell set to NULL" from "cell absent from this partial update"
         materialize_batch(batch, business_columns).createOrReplaceTempView("_mtm_batch")
+        self.spark.sql(merge_statement(self.table, business_columns))
 
-        insert_cols = ["repo", "path", "row_status", "gtid_seq", "schema_version", "updated_ts"] + [
-            c for c, _ in business_columns
-        ]
-        self.spark.sql(
-            f"""
-            MERGE INTO {self.table} t
-            USING _mtm_batch b
-            ON t.repo = b.repo AND t.path = b.path
-            WHEN MATCHED AND {MATCHED_DELETE_COND} THEN DELETE
-            WHEN MATCHED AND {MATCHED_UPDATE_COND} THEN UPDATE SET
-              {iceberg_matched_set_sql(business_columns)}
-            WHEN NOT MATCHED AND {NOT_MATCHED_INSERT_COND} THEN
-              INSERT ({', '.join(insert_cols)})
-              VALUES ({', '.join('b.' + c for c in insert_cols)})
-            """
-        )
         if changelog is not None:
             # idempotent per epoch: a replay deletes this epoch's rows first
             cl = changelog.withColumn("epoch_id", F.lit(epoch_id).cast("long"))
-            self.spark.sql(f"DELETE FROM {self.table}_changelog WHERE epoch_id = {epoch_id}")
+            for stmt in changelog_replay_statements(self.table, epoch_id):
+                self.spark.sql(stmt)
             cl.writeTo(f"{self.table}_changelog").append()
 
         # fence LAST: only after target + changelog are durable does the

@@ -53,8 +53,14 @@ def format_kafka_batch(
     payload = [F.col("repo"), F.col("path")]
     for name, typ in business_columns:
         payload.append(materialize_cell("image", name, typ))
+    # render the instant's UTC wall-clock regardless of the session
+    # timezone: date_format alone renders in spark.sql.session.timeZone,
+    # which would mislabel the hard-coded 'Z' suffix on non-UTC sessions
     payload += [F.col("row_status"), F.col("gtid_seq"), F.col("schema_version"),
-                F.date_format("updated_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("updated_ts")]
+                F.date_format(
+                    F.to_utc_timestamp(F.col("updated_ts"), F.current_timezone()),
+                    "yyyy-MM-dd'T'HH:mm:ss'Z'",
+                ).alias("updated_ts")]
     value = F.when(
         F.col("row_status") == "D", F.lit(None).cast("string")
     ).otherwise(F.to_json(F.struct(*payload)))

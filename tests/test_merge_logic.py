@@ -95,6 +95,72 @@ def test_manifest_merge_matches_shared_clause_simulation(spark, tmp_path):
     assert rows["k9"]["commit"] == "c9"
 
 
+def test_iceberg_statement_text():
+    """The jar-gated IcebergSink path, pinned jarless: every statement the
+    sink would issue comes from pure builders — bootstrap must create the
+    CHANGELOG table beside the fence table (a fresh catalog's first epoch
+    with a changelog previously died on table-not-found), day-partitioned
+    via hidden days(ts); the MERGE must carry the shared clause builder's
+    conditions; evolve_schema must persist the rich engine types in table
+    properties."""
+    from mysql_time_machine_spark.sinks.iceberg import (
+        COLUMNS_PROP,
+        add_column_statement,
+        bootstrap_statements,
+        changelog_replay_statements,
+        column_props_statement,
+        merge_statement,
+    )
+
+    boot = bootstrap_statements("lake.repos", "lake.repos_fence")
+    assert boot == [
+        "CREATE TABLE IF NOT EXISTS lake.repos_fence "
+        "(job_id STRING, epoch_id BIGINT, max_gtid_seq BIGINT, lineage STRING) USING iceberg",
+        "CREATE TABLE IF NOT EXISTS lake.repos_changelog "
+        "(repo STRING, path STRING, op STRING, gtid_seq BIGINT, log_file STRING, "
+        "log_pos BIGINT, ts TIMESTAMP, schema_version INT, day_utc STRING, epoch_id BIGINT) "
+        "USING iceberg PARTITIONED BY (days(ts))",
+    ]
+
+    m = merge_statement("lake.repos", COLS)
+    assert "MERGE INTO lake.repos t" in m
+    assert "WHEN MATCHED AND b.row_status = 'D' AND b.gtid_seq >= t.gtid_seq THEN DELETE" in m
+    assert "map_contains_key(b.image, 'lang')" in m
+    assert "WHEN NOT MATCHED AND b.row_status != 'D'" in m
+    assert "INSERT (repo, path, row_status, gtid_seq, schema_version, updated_ts, commit, lang, content)" in m
+
+    assert changelog_replay_statements("lake.repos", 7) == [
+        "DELETE FROM lake.repos_changelog WHERE epoch_id = 7"
+    ]
+    # rich types: time2/latin1/enum decode to STRING in DDL, survive in props
+    assert add_column_statement("lake.repos", "dur", "time2") == (
+        "ALTER TABLE lake.repos ADD COLUMN dur STRING"
+    )
+    props = column_props_statement("lake.repos", COLS + [("dur", "time2")])
+    assert props.startswith(f"ALTER TABLE lake.repos SET TBLPROPERTIES ('{COLUMNS_PROP}'")
+    assert '["dur", "time2"]' in props
+
+
+def test_kafka_updated_ts_is_utc_regardless_of_session_tz(spark):
+    """The wire record's updated_ts hard-codes a 'Z' suffix — the rendered
+    wall-clock must really be UTC even when the session timezone is not."""
+    import json
+
+    from mysql_time_machine_spark.sinks.kafka import format_kafka_batch
+
+    batch = _collapsed(
+        spark, [("o", "k1", "I", {"commit": "c", "lang": "py", "content": "x"}, True, 7)]
+    )
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        rec = format_kafka_batch(batch, COLS).head()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+    # TS was created under a UTC session: instant == 2024-01-01T00:00:00Z
+    assert json.loads(rec["value"])["updated_ts"] == "2024-01-01T00:00:00Z"
+
+
 def _ev(repo, path, op, after, gtid, seq=0):
     return Row(
         log_file="binlog.000001", log_pos=gtid, gtid=f"u:{gtid}", gtid_seq=gtid,
