@@ -154,15 +154,42 @@ class ManifestParquetSink(Sink):
             cur = self.manifest_at(cur["parent"]) if cur["parent"] is not None else None
         return list(reversed(out))
 
-    def read_changelog(self) -> DataFrame:
-        """The daily-changes analogue: every change event, partitioned by
-        UTC day (one hidden-partitioned table instead of N yyyymmdd tables,
-        CHANGES.txt:123,111,55)."""
+    def read_changelog(self, day: str | None = None) -> DataFrame:
+        """The daily-changes analogue: every change event, PARTITIONED by
+        UTC day on disk (one day-partitioned table instead of N yyyymmdd
+        tables, CHANGES.txt:123,111,55). ``day`` prunes at the FILE level:
+        the manifest maps day -> files, so a daily import reads only that
+        day's files — the partition-pruning contract Iceberg's days(ts)
+        hidden partitioning gives the jar-backed sink."""
         m = self.current_manifest()
-        files = m.get("changelog_files", [])
-        if not files:
-            return self.spark.createDataFrame([], "repo string, path string, op string, day_utc string")
-        return self.spark.read.parquet(*files)
+        by_day: dict[str, list[str]] = m.get("changelog_files", {})
+        days = [day] if day is not None else sorted(by_day)
+        schema = (
+            "repo string, path string, op string, gtid_seq long, log_file string, "
+            "log_pos long, ts timestamp, schema_version int"
+        )
+        parts = []
+        for d in days:
+            files = by_day.get(d, [])
+            if files:
+                # day_utc is a partition value, not stored in the files
+                parts.append(
+                    self.spark.read.schema(schema).parquet(*files).withColumn("day_utc", F.lit(d))
+                )
+        if not parts:
+            return self.spark.createDataFrame([], schema + ", day_utc string")
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def changelog_files_for(self, day: str | None = None) -> list[str]:
+        """The file list a ``read_changelog(day)`` scan touches — exposed so
+        tests (and operators) can assert day-level file pruning."""
+        by_day = self.current_manifest().get("changelog_files", {})
+        if day is not None:
+            return list(by_day.get(day, []))
+        return [f for fl in by_day.values() for f in fl]
 
     def read_lineage(self) -> DataFrame:
         """Per-epoch, per-partition lineage counters (CHANGES.txt:113-116,
@@ -313,15 +340,25 @@ class ManifestParquetSink(Sink):
             merged = merged.drop("_bucket").withColumn("_bucket", salted_shuffle_key(self.n_buckets))
             merged.write.mode("overwrite").partitionBy("_bucket").parquet(out_dir)
 
-            changelog_files = list(m.get("changelog_files", []))
+            changelog_files: dict[str, list[str]] = {
+                k: list(v) for k, v in m.get("changelog_files", {}).items()
+            }
             if changelog is not None:
-                # day_utc kept as a data column here; on a real cluster this
-                # is `partitionBy("day_utc")` / Iceberg `days(ts)` hidden
-                # partitioning for partition-pruned daily imports
+                # partitioned by UTC day — the Iceberg days(ts) analogue; the
+                # manifest's day -> files map is what lets read_changelog
+                # prune at the file level for daily imports
                 cl_dir = os.path.join(self.root, "changelog", f"s{snap:06d}")
-                changelog.write.mode("overwrite").parquet(cl_dir)
-                for dp, _dn, fns in os.walk(cl_dir):
-                    changelog_files += [os.path.join(dp, fn) for fn in sorted(fns) if fn.endswith(".parquet")]
+                changelog.write.mode("overwrite").partitionBy("day_utc").parquet(cl_dir)
+                for entry in sorted(os.listdir(cl_dir)):
+                    if not entry.startswith("day_utc="):
+                        continue
+                    d = entry.split("=", 1)[1]
+                    ddir = os.path.join(cl_dir, entry)
+                    changelog_files.setdefault(d, []).extend(
+                        os.path.join(ddir, fn)
+                        for fn in sorted(os.listdir(ddir))
+                        if fn.endswith(".parquet")
+                    )
 
             # collect the files actually written, keyed by bucket
             new_buckets: dict[str, list[str]] = {}

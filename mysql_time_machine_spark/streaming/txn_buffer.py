@@ -8,6 +8,18 @@ rotation gives the same quarantee); THIS operator removes the invariant:
 transactions whose COMMIT has not arrived yet and releases the whole
 transaction — possibly several micro-batches later — when it does.
 
+State representation (the 100-TB-transaction path): buffered fragments are
+stored as an ``array<binary>`` of Arrow IPC chunks — each micro-batch's
+fragment is encoded ONCE as a columnar Arrow stream (zero per-row Python,
+no JSON string building) and APPENDED to the chunk list, so a transaction
+spanning k micro-batches pays k fragment encodes, never a re-encode of
+what's already buffered. On COMMIT the chunks are concatenated back into
+one pandas frame. A multi-MB-row transaction therefore moves through state
+at Arrow columnar speed instead of row-at-a-time JSON (the round-1/2
+representation this replaces — see tools/bench_txn_state.py for the
+measured gap). ``last_ts_ns`` rides along so timeout arming never re-reads
+the chunks.
+
 Late-released transactions carry their original gtid, so downstream
 last-writer-wins (collapse + the sink's per-key gtid monotonicity guard)
 applies them correctly even when a *later* transaction was already
@@ -41,35 +53,67 @@ Mechanics:
 
 from __future__ import annotations
 
-import json
-from typing import Any, Callable, Iterator
+import io
+from typing import Callable, Iterator
 
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from mysql_time_machine_spark.schema import EVENT_SCHEMA
 
-#: state: buffered row events, JSON-encoded (ts as epoch micros)
-STATE_SCHEMA = "events_json STRING"
+#: state: buffered row-event fragments as Arrow IPC chunks (one per
+#: micro-batch that touched the transaction) + max buffered event time
+STATE_SCHEMA = "chunks array<binary>, last_ts_ns bigint"
 
-_TS_COLS = ("ts",)
+_MAP_COLS = ("before", "after")
+
+#: Arrow schema of a buffered fragment, mirroring EVENT_SCHEMA
+_PA_SCHEMA = pa.schema(
+    [
+        ("log_file", pa.string()),
+        ("log_pos", pa.int64()),
+        ("gtid", pa.string()),
+        ("gtid_seq", pa.int64()),
+        ("txn_id", pa.int64()),
+        ("seq_in_txn", pa.int32()),
+        ("server_id", pa.int32()),
+        ("ts", pa.timestamp("ns")),
+        ("op", pa.string()),
+        ("schema_version", pa.int32()),
+        ("repo", pa.string()),
+        ("path", pa.string()),
+        ("before", pa.map_(pa.string(), pa.string())),
+        ("after", pa.map_(pa.string(), pa.string())),
+        ("ddl", pa.string()),
+    ]
+)
 
 
-def _pdf_to_records(pdf: pd.DataFrame) -> list[dict[str, Any]]:
+def pdf_to_ipc(pdf: pd.DataFrame) -> bytes:
+    """Fragment -> one Arrow IPC stream (columnar, zero per-row Python).
+    Spark's serializer delivers map columns as python dicts; pyarrow's map
+    arrays want key-value pair lists."""
     out = pdf.copy()
-    for c in _TS_COLS:
-        # normalize to epoch-nanos regardless of the Arrow unit (ns vs us)
-        out[c] = pd.to_datetime(out[c]).astype("datetime64[ns]").astype("int64")
-    return json.loads(out.to_json(orient="records"))
+    for c in _MAP_COLS:
+        out[c] = out[c].map(lambda d: list(d.items()) if isinstance(d, dict) else None)
+    out["ts"] = pd.to_datetime(out["ts"]).astype("datetime64[ns]")
+    table = pa.Table.from_pandas(out, schema=_PA_SCHEMA, preserve_index=False)
+    sink = io.BytesIO()
+    with pa.ipc.new_stream(sink, _PA_SCHEMA) as w:
+        w.write_table(table)
+    return sink.getvalue()
 
 
-def _records_to_pdf(records: list[dict[str, Any]]) -> pd.DataFrame:
-    pdf = pd.DataFrame.from_records(records)
-    for c in _TS_COLS:
-        if c in pdf.columns:
-            pdf[c] = pd.to_datetime(pdf[c], unit="ns")
+def ipc_to_pdf(chunks: list[bytes]) -> pd.DataFrame:
+    """Buffered chunk list -> one pandas frame (shape Spark's output
+    serializer expects: maps back to dicts)."""
+    tables = [pa.ipc.open_stream(c).read_all() for c in chunks]
+    pdf = pa.concat_tables(tables).to_pandas()
+    for c in _MAP_COLS:
+        pdf[c] = pdf[c].map(lambda v: dict(v) if v is not None else None)
     return pdf
 
 
@@ -99,26 +143,31 @@ def _make_buffer_fn(evict: bool) -> Callable:
         rows = batch[batch["op"].isin(["I", "U", "D"])]
         committed = bool((batch["op"] == "COMMIT").any())
 
-        buffered: list[dict[str, Any]] = []
+        chunks: list[bytes] = []
+        last_ts_ns: int | None = None
         if state.exists:
-            (events_json,) = state.get
-            buffered = json.loads(events_json)
+            chunks, last_ts_ns = state.get
+            chunks = list(chunks)
 
         if committed:
             if state.exists:
                 state.remove()
-            prior = _records_to_pdf(buffered) if buffered else pd.DataFrame(columns=cols)
+            prior = ipc_to_pdf(chunks) if chunks else pd.DataFrame(columns=cols)
             full = pd.concat([prior, rows], ignore_index=True) if len(rows) else prior
             if len(full):
                 yield full[cols]
         else:
-            buffered.extend(_pdf_to_records(rows[cols]))
-            state.update((json.dumps(buffered),))
+            if len(rows):
+                chunks.append(pdf_to_ipc(rows[cols]))
+                frag_max = int(
+                    pd.to_datetime(rows["ts"]).astype("datetime64[ns]").astype("int64").max()
+                )
+                last_ts_ns = frag_max if last_ts_ns is None else max(last_ts_ns, frag_max)
+            state.update((chunks, last_ts_ns))
             if evict:
-                last_ns = max((r["ts"] for r in buffered), default=None)
                 wm = state.getCurrentWatermarkMs()
                 # arm at last activity; must stay above the current watermark
-                arm = wm + 1 if last_ns is None else max(last_ns // 1_000_000, wm + 1)
+                arm = wm + 1 if last_ts_ns is None else max(last_ts_ns // 1_000_000, wm + 1)
                 state.setTimeoutTimestamp(arm)
 
     return _buffer_fn

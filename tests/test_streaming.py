@@ -215,6 +215,52 @@ def test_changelog_daily_buckets(completed, small_log):
     em = small_log.emitted
     assert len(cl) == em["I"] + em["U"] + em["D"]
     assert (cl["day_utc"] == "20240101").all()
+    # the day is a PARTITION: a day-filtered read touches only that day's
+    # files, and the value is not stored inside them
+    assert sink.changelog_files_for("20240101") == sink.changelog_files_for()
+    assert sink.changelog_files_for("20990101") == []
+
+
+def test_changelog_day_partition_prunes_files(spark, tmp_path):
+    """read_changelog(day) must read strictly fewer files than the full
+    changelog when multiple days exist — the daily-import pruning path."""
+    import datetime as dt
+
+    from mysql_time_machine_spark.sinks.manifest import ManifestParquetSink
+
+    sink = ManifestParquetSink(spark, str(tmp_path / "sink_cl"), n_buckets=4)
+    cl_schema = (
+        "repo string, path string, op string, gtid_seq long, log_file string, "
+        "log_pos long, ts timestamp, schema_version int, day_utc string"
+    )
+
+    def batch(gtid):
+        from pyspark.sql import Row
+
+        from mysql_time_machine_spark.operators.reassemble import COLLAPSED_SCHEMA
+
+        return spark.createDataFrame(
+            [Row(repo="o", path=f"k{gtid}", row_status="I",
+                 image={"commit": "c", "lang": "py", "content": "x"}, full_image=True,
+                 gtid_seq=gtid, schema_version=1, updated_ts=dt.datetime(2024, 1, 1))],
+            COLLAPSED_SCHEMA,
+        )
+
+    for epoch, (gtid, day) in enumerate([(10, "20240101"), (20, "20240102")], start=1):
+        cl = spark.createDataFrame(
+            [("o", f"k{gtid}", "I", gtid, "binlog.000001", gtid,
+              dt.datetime(2024, 1, epoch), 1, day)],
+            cl_schema,
+        )
+        assert sink.merge(batch(gtid), epoch_id=epoch, changelog=cl)
+
+    total = sink.changelog_files_for()
+    d1 = sink.changelog_files_for("20240101")
+    assert 0 < len(d1) < len(total)
+    one_day = sink.read_changelog(day="20240101").toPandas()
+    assert list(one_day["day_utc"]) == ["20240101"] and list(one_day["gtid_seq"]) == [10]
+    both = sink.read_changelog().toPandas()
+    assert sorted(both["day_utc"]) == ["20240101", "20240102"]
 
 
 def test_dry_run_writes_nothing(spark, binlog_dir, tmp_path_factory):
