@@ -376,6 +376,18 @@ def _sim_ivf_assign(spark, sf_dir):
     return assign_centroids(emb, nlist=8).select("vec_id", "centroid_id")
 
 
+def _sim_kmeans_assign(spark, sf_dir):
+    """Assignment under kmeans_centroids (2 deterministic Lloyd iterations
+    from the first-nlist seeds). The oracle unrolls the same two
+    assign->mean rounds in SQL, with the float32 centroid cast and the
+    empty-cluster-keeps-previous rule mirrored exactly."""
+    from mysql_time_machine_spark.operators.ann import assign_centroids, kmeans_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb, nlist=8, iters=2)
+    return assign_centroids(emb, nlist=8, centroids=cents).select("vec_id", "centroid_id")
+
+
 def _text_langid(spark, sf_dir):
     from mysql_time_machine_spark.functions.text import lang_id
 
@@ -461,6 +473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_ivf": _dedup_embedding_ivf,
         "sim_bruteforce_topk": _sim_bruteforce_topk,
         "sim_ivf_assign": _sim_ivf_assign,
+        "sim_kmeans_assign": _sim_kmeans_assign,
         "text_langid": _text_langid,
         "text_quality": _text_quality,
         "text_token_count": _text_token_count,
@@ -818,6 +831,39 @@ def oracle_sql() -> dict[str, str]:
                                     c.centroid_id) AS rn
                 FROM embeddings e CROSS JOIN cents c)
             SELECT vec_id, centroid_id FROM scored WHERE rn = 1
+        """,
+        # two unrolled Lloyd rounds: assign (cosine argmax, tie -> lowest
+        # cid) -> per-dim mean cast to FLOAT (matching the Spark kernel's
+        # float32 centroid_vec) -> empty cluster keeps previous centroid;
+        # final output is the assignment under the refined centroids
+        "sim_kmeans_assign": """
+            WITH dims AS (SELECT unnest(range((SELECT len(embedding) FROM embeddings LIMIT 1))) AS dim),
+            c0 AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+            a1 AS (SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC, c.cid) AS rn
+                FROM embeddings e CROSS JOIN c0 c) WHERE rn = 1),
+            m1 AS (SELECT a.cid, d.dim, avg(e.embedding[d.dim + 1])::FLOAT AS m
+                   FROM a1 a JOIN embeddings e USING (vec_id) CROSS JOIN dims d
+                   GROUP BY a.cid, d.dim),
+            c1m AS (SELECT cid, list(m ORDER BY dim) AS cv FROM m1 GROUP BY cid),
+            c1 AS (SELECT c0.cid, COALESCE(c1m.cv, c0.cv) AS cv FROM c0 LEFT JOIN c1m USING (cid)),
+            a2 AS (SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC, c.cid) AS rn
+                FROM embeddings e CROSS JOIN c1 c) WHERE rn = 1),
+            m2 AS (SELECT a.cid, d.dim, avg(e.embedding[d.dim + 1])::FLOAT AS m
+                   FROM a2 a JOIN embeddings e USING (vec_id) CROSS JOIN dims d
+                   GROUP BY a.cid, d.dim),
+            c2m AS (SELECT cid, list(m ORDER BY dim) AS cv FROM m2 GROUP BY cid),
+            c2 AS (SELECT c1.cid, COALESCE(c2m.cv, c1.cv) AS cv FROM c1 LEFT JOIN c2m USING (cid))
+            SELECT vec_id, cid AS centroid_id FROM (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC, c.cid) AS rn
+                FROM embeddings e CROSS JOIN c2 c) WHERE rn = 1
         """,
         "text_langid": f"SELECT doc_id, {_sql_langid()} AS lang_guess FROM documents",
         "text_quality": f"""
