@@ -59,6 +59,70 @@ def fingerprint_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "do
 
 
 # ---------------------------------------------------------------------------
+# identical-text representative collapse (shared by the pair generators)
+# ---------------------------------------------------------------------------
+
+
+def _identical_text_groups(
+    docs: DataFrame, text_col: str, id_col: str, block_cols: tuple[str, ...]
+) -> tuple[DataFrame, DataFrame]:
+    """(reps, members) for the partial/final trick every pair generator
+    uses on dup-dense corpora: ``reps`` has ONE row per distinct
+    (block, text) — id = min member id, plus the text — and ``members``
+    maps each doc id to its group's rep id. Identical texts have identical
+    shingles/signatures/fingerprints, so any text-derived pair metric is
+    constant across a group: the generator runs on reps only (signature
+    work and join candidates scale with DISTINCT texts, never with
+    exact-dup mass), and true pairs are reconstructed afterwards by
+    ``_expand_rep_pairs``."""
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in block_cols],
+        F.md5(F.col(text_col)).alias("_gkey"),
+        F.col(text_col).alias(text_col),
+    )
+    reps = base.groupBy("_gkey", *block_cols).agg(
+        F.min("id").alias("id"), F.min_by(text_col, F.col("id")).alias(text_col)
+    )
+    members = base.select("id", "_gkey", *block_cols).join(
+        reps.select("_gkey", *block_cols, F.col("id").alias("_rep")),
+        ["_gkey", *block_cols],
+    ).select("id", "_rep")
+    return reps, members
+
+
+def _expand_rep_pairs(
+    rep_pairs: DataFrame, members: DataFrame, metric_col: str, threshold: float = 0.0
+) -> DataFrame:
+    """Rep-level pairs -> member-level pairs: two equi-joins through the
+    member->rep map (groups are disjoint, so least/greatest emits each
+    unordered pair exactly once), plus the intra-group pairs (identical
+    texts: metric is exactly 1.0 by definition of every similarity here).
+    Output-bound — the joins emit exactly the true pairs."""
+    cross = (
+        rep_pairs.join(
+            members.select(F.col("id").alias("_am"), F.col("_rep").alias("a_id")), "a_id"
+        )
+        .join(members.select(F.col("id").alias("_bm"), F.col("_rep").alias("b_id")), "b_id")
+        .select(
+            F.least("_am", "_bm").alias("a_id"),
+            F.greatest("_am", "_bm").alias("b_id"),
+            metric_col,
+        )
+    )
+    ml = members.select(F.col("id").alias("a_id"), "_rep")
+    mr = members.select(F.col("id").alias("b_id"), F.col("_rep").alias("_repb"))
+    intra = (
+        ml.join(mr, F.col("_rep") == F.col("_repb"))
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", F.lit(1.0).cast("double").alias(metric_col))
+    )
+    if threshold > 1.0:  # degenerate: nothing can pass, incl. exact dups
+        intra = intra.where(F.lit(False))
+    return intra.unionByName(cross)
+
+
+# ---------------------------------------------------------------------------
 # 3: blocked pairwise n-gram Jaccard
 # ---------------------------------------------------------------------------
 
@@ -94,9 +158,16 @@ def ngram_jaccard_pairs(
     hash/sort-merge join — candidate enumeration is linear in the bucket
     co-membership, never O(n^2) within a block. At corpus scale you shrink
     ``length_bucket`` / add block columns to tighten the buckets further.
+
+    Identical texts are collapsed to one representative first
+    (``_identical_text_groups``): shingling and the bucket join run over
+    DISTINCT texts only, and exact-dup pairs (jaccard exactly 1.0) are
+    reconstructed through the group map — on a dup-dense web corpus the
+    expensive stage never pays the exact-dup mass.
     """
-    base = docs.select(
-        F.col(id_col).alias("id"),
+    reps, members = _identical_text_groups(docs, text_col, id_col, block_cols)
+    base = reps.select(
+        F.col("id"),
         *[F.col(c) for c in block_cols],
         word_shingles(text_col, n).alias("sh"),
         F.floor(F.length(text_col) / length_bucket).alias("lb"),
@@ -115,7 +186,7 @@ def ngram_jaccard_pairs(
         cond = cond & (F.col(f"a_{c}") == F.col(f"b_{c}"))
     inter = F.size(F.array_intersect("a_sh", "b_sh"))
     union = F.size(F.array_union("a_sh", "b_sh"))
-    return (
+    rep_pairs = (
         a.join(b, cond)
         .where(F.col("a_id") < F.col("b_id"))
         .select(
@@ -124,6 +195,7 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+    return _expand_rep_pairs(rep_pairs, members, "jaccard", threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -163,6 +235,13 @@ def minhash_lsh_pairs(
     Candidates come from an equi-join on (band, band-hash) — a plain
     shuffle join, no quadratic scan anywhere.
 
+    Identical texts are collapsed to one representative first: shingling,
+    the K hash passes, banding, and verification all run over DISTINCT
+    texts (identical texts share every band, so a group of n exact copies
+    would otherwise flood its buckets with C(n,2) candidates per band);
+    the exact-dup pairs (jaccard exactly 1.0) are reconstructed through
+    the group map afterwards — output-bound, no over-generation.
+
     Cache lifecycle: the (id, shingles, signature) projection is persisted
     only for the duration of THIS call — the verified pair table (tiny vs
     the corpus) is materialized and the signature cache is released before
@@ -190,7 +269,8 @@ def minhash_lsh_pairs(
     # purposes, so intersect/union counts — and hence the Jaccard value —
     # are identical), which shrinks the persisted/verified payload to
     # fixed 32-char strings regardless of shingle length.
-    sh_df = docs.select(F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh"))
+    reps, members = _identical_text_groups(docs, text_col, id_col, ())
+    sh_df = reps.select("id", word_shingles(text_col, n).alias("sh"))
     shm_df = sh_df.select("id", F.transform("sh", lambda s: F.md5(s)).alias("shm"))
     sig = shm_df.select(
         "id",
@@ -238,10 +318,11 @@ def minhash_lsh_pairs(
     )
     inter = F.size(F.array_intersect("a_sh", "b_sh"))
     union = F.size(F.array_union("a_sh", "b_sh"))
-    out = verified.select(
+    rep_out = verified.select(
         "a_id", "b_id",
         (inter / F.greatest(union, F.lit(1))).cast("double").alias("jaccard"),
     ).where(F.col("jaccard") >= threshold)
+    out = _expand_rep_pairs(rep_out, members, "jaccard", threshold)
     # materialize the (small) verified pair table, then drop the signature
     # cache — one computation of the shingle/signature projection total,
     # zero cached RDDs left behind

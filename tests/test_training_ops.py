@@ -362,6 +362,57 @@ def test_minhash_lsh_default_staging_no_tempdir(spark, docs, tmp_path):
     assert glob.glob(os.path.join(stage, "*.parquet"))
 
 
+def test_ngram_and_minhash_rep_collapse_exact_on_dup_dense(spark):
+    """Both shingle-based pair generators collapse identical texts to one
+    representative before the expensive stage; the expanded output must be
+    EXACTLY the naive per-doc pair set — all C(n,2) exact-dup pairs at
+    jaccard 1.0, plus the near-dup cross pairs at their true jaccard."""
+    base_text = ("the quick brown fox jumps over the lazy dog and runs to the "
+                 "river with the happy children for a long day of play in the sun")
+    near_text = base_text.replace("sun", "rain")
+    rows = (
+        [Row(doc_id=i, lang="en", text=base_text) for i in range(6)]
+        + [Row(doc_id=100 + i, lang="en", text=near_text) for i in range(3)]
+        + [Row(doc_id=200, lang="en", text="entirely different legal boilerplate "
+                                           "paragraph about insurance claims and policies")]
+    )
+    d = spark.createDataFrame(rows)
+
+    def py_shingles(text, n=3):
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        return (
+            {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+            if len(toks) >= n
+            else {" ".join(toks)}
+        )
+
+    sh = {r.doc_id: py_shingles(r.text) for r in rows}
+    ids = sorted(sh)
+    threshold = 0.5
+    expected = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            j = len(sh[a] & sh[b]) / len(sh[a] | sh[b])
+            if j >= threshold:
+                expected[(a, b)] = round(j, 6)
+
+    got_ng = {
+        (r["a_id"], r["b_id"]): round(r["jaccard"], 6)
+        for r in ngram_jaccard_pairs(d, threshold=threshold).collect()
+    }
+    assert got_ng == expected
+
+    # minhash verifies with the TRUE digest-array jaccard, so the surviving
+    # pair set obeys the same threshold on candidates; every exact-dup and
+    # the (high-jaccard) near-dup cross pairs must all surface at 16x4 bands
+    got_mh = {
+        (r["a_id"], r["b_id"]): round(r["jaccard"], 6)
+        for r in minhash_lsh_pairs(d, threshold=threshold).collect()
+    }
+    assert set(got_mh) == set(expected)  # candidates recall everything here
+    assert got_mh == expected  # and the verified jaccard values are exact
+
+
 def test_assign_centroids_topp_p1_matches_single(spark, emb):
     from mysql_time_machine_spark.operators.ann import assign_centroids_topp
 
