@@ -52,14 +52,25 @@ class EngineConfig:
 
     # --- streaming ---------------------------------------------------------
     max_files_per_trigger: int = 4
-    #: collapse kernel for the streaming apply: 'sql' (pure Catalyst — the
-    #: 100-TB path and the DEFAULT: 0.95 N->4N scaling efficiency, 3.15 M
-    #: ev/s at local[32]), 'sorted' (Tungsten-sorted mapInPandas — the
-    #: Python-kernel scale path, 0.84 N->4N), or 'pandas' (grouped-map
-    #: applyInPandas — keep for debuggability / custom per-key Python; it
-    #: scales worst: 0.47-0.59 N->4N). All three are bit-identical by
-    #: parity + property tests; deploy the one you'd run at 100 TB.
-    collapse_impl: str = "sql"
+    #: collapse kernel: 'auto' (DEFAULT — measured regime split: the
+    #: streaming job picks 'sorted', batch replay picks 'sql'), or pin one
+    #: of 'sql' / 'sorted' / 'pandas'. The measured basis (BENCH):
+    #: big-batch replay is throughput-bound — 'sql' (pure Catalyst) wins
+    #: (186 K ev/s vs 125 K at sf0.1 x10; 3.15 M ev/s and 0.95 N->4N at
+    #: x900), while per-micro-batch streaming is fixed-cost-bound —
+    #: 'sorted' (Tungsten-sorted mapInPandas, one linear pandas pass, the
+    #: smallest per-batch plan) runs the same stream in 5-7 s vs sql's
+    #: 14 s and still scales 0.84 N->4N. 'pandas' (grouped-map
+    #: applyInPandas) is the readability/debuggability form (0.47-0.59
+    #: N->4N). All three are bit-identical by parity + property tests.
+    collapse_impl: str = "auto"
+
+    def resolved_collapse_impl(self, regime: str) -> str:
+        """'auto' -> the measured best kernel for the regime
+        ('streaming' -> sorted, 'batch' -> sql); explicit settings win."""
+        if self.collapse_impl != "auto":
+            return self.collapse_impl
+        return "sorted" if regime == "streaming" else "sql"
     #: wire format of the binlog event files: 'parquet' (default, columnar)
     #: or 'json' (one AugmentedRow object per line, CHANGES.txt:87)
     binlog_format: str = "parquet"

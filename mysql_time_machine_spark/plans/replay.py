@@ -39,11 +39,17 @@ def replay_batch(
     events: DataFrame,
     business_columns: list[tuple[str, str]],
     cfg: EngineConfig | None = None,
-    impl: str = "pandas",
+    impl: str = "auto",
     keep_tombstones: bool = False,
 ) -> DataFrame:
-    """events -> final table state (one row per surviving key)."""
+    """events -> final table state (one row per surviving key).
+
+    ``impl='auto'`` resolves to the pure-Catalyst kernel — big-batch
+    replay is throughput-bound and it is the measured winner there
+    (EngineConfig.collapse_impl documents the regime split)."""
     cfg = cfg or EngineConfig()
+    if impl == "auto":
+        impl = cfg.resolved_collapse_impl("batch")
     ev = filter_events(events, cfg)
     if impl == "pandas":
         collapsed = collapse_events_pandas(ev, n_buckets=cfg.shuffle_partitions * 2)

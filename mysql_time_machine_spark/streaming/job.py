@@ -111,12 +111,16 @@ class ApplyJob:
                 )
 
             # (A1/A2) reassemble + collapse; hot keys two-stage via sub-salt
-            # (detection aggregate runs on the persisted micro-batch — cheap)
-            if cfg.collapse_impl == "sql":
+            # (detection aggregate runs on the persisted micro-batch — cheap).
+            # 'auto' resolves to the sorted kernel here: micro-batches are
+            # fixed-cost-bound and it runs the smallest per-batch plan
+            # (see EngineConfig.collapse_impl for the measured basis)
+            impl = cfg.resolved_collapse_impl("streaming")
+            if impl == "sql":
                 from mysql_time_machine_spark.operators.reassemble import collapse_events_sql
 
                 collapsed = collapse_events_sql(rows)
-            elif cfg.collapse_impl == "sorted":
+            elif impl == "sorted":
                 from mysql_time_machine_spark.operators.reassemble import collapse_events_sorted
 
                 collapsed = collapse_events_sorted(rows, n_buckets=cfg.shuffle_partitions)
