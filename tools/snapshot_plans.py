@@ -1,5 +1,5 @@
 """Regenerate BENCH/PLANS.md — physical-plan snapshots of the flagship and
-round-2 paths, with the audit checklist at the top.
+round-3 paths, with the audit checklist at the top.
 
 Usage: python tools/snapshot_plans.py   (writes BENCH/PLANS.md)
 """
@@ -16,7 +16,7 @@ sys.path.insert(0, REPO)
 
 SF = "/root/testdata/sf0.001"
 
-HEADER = """# BENCH/PLANS.md — physical plans of the flagship paths (round 2)
+HEADER = """# BENCH/PLANS.md — physical plans of the flagship paths (round 3)
 
 `df.explain()` snapshots, captured at sf0.001 (plan shape is
 scale-independent; AQE re-plans at runtime). What to look for:
