@@ -552,23 +552,24 @@ def connected_components(
     the step that turns any pair generator above into a keep-one-per-
     cluster dedup decision.
 
-    Iterative min-label propagation, pure DataFrame ops: each round every
-    vertex takes the min label among itself and its neighbors; converges
-    within the cluster diameter (near-dup clusters are shallow — exact
-    copies form cliques, chains are rare). The driver loop stops early on
-    a converged round.
+    Iterative min-label propagation WITH pointer jumping, pure DataFrame
+    ops: each round every vertex takes the min of (its label, its
+    neighbors' labels, its label's label). The neighbor term spreads the
+    min one hop per round; the pointer-jump term (path halving — a label
+    is always the id of a reachable vertex, so label(label(v)) is in the
+    same component) collapses chains geometrically, giving convergence in
+    O(log diameter) rounds instead of O(diameter). The driver loop stops
+    early on a converged round.
 
     Scale hygiene (the part that matters on deep graphs): ``edges`` is
     persisted ONCE; each round's labels are ``localCheckpoint``-ed, which
     (a) materializes the round in the same single action the convergence
     probe then reads (the old label rides along as an ``old`` column, so
     no second full recompute), and (b) CUTS LINEAGE — round k's plan is
-    scan(checkpointed labels) + one join + one map-side-combined min, a
+    scan(checkpointed labels) + two joins + one map-side-combined min, a
     constant-depth plan instead of a k-deep chain re-run from scratch
     (O(k) total work, not O(k^2)). Previous generations' blocks are freed
-    by the context cleaner when the superseded DataFrame is GC'd. At much
-    larger diameters swap in the large-star/small-star contraction (same
-    per-round join shape, O(log n) rounds).
+    by the context cleaner when the superseded DataFrame is GC'd.
     """
     edges = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
@@ -590,9 +591,22 @@ def connected_components(
                 .select(F.col("v").alias("id"), "label")
                 .withColumn("old", F.lit(None).cast(label_t))
             )
+            # path halving: label(label(id)) — one self-join on the
+            # (tiny, checkpointed) labels table
+            jump = (
+                labels.join(
+                    labels.select(
+                        F.col("id").alias("label"), F.col("label").alias("_jl")
+                    ),
+                    "label",
+                )
+                .select("id", F.col("_jl").alias("label"))
+                .withColumn("old", F.lit(None).cast(label_t))
+            )
             new_labels = (
                 labels.withColumn("old", F.col("label"))
                 .unionByName(neighbor)
+                .unionByName(jump)
                 .groupBy("id")
                 # min(old) = the row's previous label (each id contributes
                 # exactly one non-null old) — carried so convergence is

@@ -297,6 +297,44 @@ def test_connected_components_constant_plan_depth(spark):
     assert len(plan) < 2000
 
 
+def test_connected_components_log_rounds_and_union_find_parity(spark):
+    """Pointer jumping (path halving) makes deep chains converge in
+    O(log diameter) rounds: a 12-chain must fully resolve within
+    max_iters=6 (pure one-hop propagation would need 11). And on a random
+    graph the labels must equal a python union-find ground truth."""
+    import random
+
+    from mysql_time_machine_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 111)], "a_id long, b_id long"
+    )
+    got = {r["id"]: r["cluster_id"] for r in connected_components(chain, max_iters=6).collect()}
+    assert got == {i: 100 for i in range(100, 112)}
+
+    rng = random.Random(7)
+    pairs = sorted({tuple(sorted(rng.sample(range(60), 2))) for _ in range(45)})
+    parent = list(range(60))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    nodes = {n for p in pairs for n in p}
+    truth = {}
+    for n in nodes:
+        truth.setdefault(find(n), []).append(n)
+    expected = {n: min(members) for members in truth.values() for n in members}
+
+    d = spark.createDataFrame(pairs, "a_id long, b_id long")
+    got_r = {r["id"]: r["cluster_id"] for r in connected_components(d).collect()}
+    assert got_r == expected
+
+
 def test_simhash_pairs_zipf_dup_skew(spark):
     """Dup-dense corpora: one mega-group of identical fingerprints plus
     near-dups. The representative-collapsed banding must produce EXACTLY
