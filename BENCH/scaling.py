@@ -50,8 +50,9 @@ def child(cpus: int, events_dir: str) -> None:
 
     cfg = EngineConfig(shuffle_partitions=PARTITIONS // 2)  # replay uses 2x -> PARTITIONS buckets
     trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "2"))
+    kernels = tuple(os.environ.get("SPARK_GRAFT_KERNELS", "pandas,sorted,sql").split(","))
     out_stats = {}
-    for impl in ("pandas", "sorted", "sql"):
+    for impl in kernels:
         walls = []
         for _ in range(trials):
             t0 = time.time()
@@ -63,9 +64,10 @@ def child(cpus: int, events_dir: str) -> None:
         out_stats[f"events_per_sec_{impl}"] = round(n / wall, 1)
         out_stats[f"walls_{impl}"] = [round(w, 2) for w in walls]
 
+    head = kernels[0]
     print(json.dumps({"cpus": cpus, "row_events": n,
-                      "wall_sec": out_stats["wall_sec_pandas"],
-                      "events_per_sec": out_stats["events_per_sec_pandas"],
+                      "wall_sec": out_stats[f"wall_sec_{head}"],
+                      "events_per_sec": out_stats[f"events_per_sec_{head}"],
                       **out_stats}))
     spark.stop()
 
@@ -102,21 +104,25 @@ def main() -> int:
             line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
             r = json.loads(line)
             print(line)
+            kernels = tuple(os.environ.get("SPARK_GRAFT_KERNELS", "pandas,sorted,sql").split(","))
             prev = results.get(cpus)
             if prev is None:
                 results[cpus] = r
             else:
-                for impl in ("pandas", "sorted", "sql"):
+                for impl in kernels:
                     if r[f"wall_sec_{impl}"] < prev[f"wall_sec_{impl}"]:
                         prev[f"wall_sec_{impl}"] = r[f"wall_sec_{impl}"]
                         prev[f"events_per_sec_{impl}"] = r[f"events_per_sec_{impl}"]
                     prev[f"walls_{impl}"] = prev[f"walls_{impl}"] + r[f"walls_{impl}"]
-                prev["wall_sec"] = prev["wall_sec_pandas"]
-                prev["events_per_sec"] = prev["events_per_sec_pandas"]
+                prev["wall_sec"] = prev[f"wall_sec_{kernels[0]}"]
+                prev["events_per_sec"] = prev[f"events_per_sec_{kernels[0]}"]
 
     n, n4 = results[LEVELS[0]], results[LEVELS[1]]
     eff = (n4["events_per_sec"] / n["events_per_sec"]) / (LEVELS[1] / LEVELS[0])
-    eff_sql = (n4["events_per_sec_sql"] / n["events_per_sec_sql"]) / (LEVELS[1] / LEVELS[0])
+    if "events_per_sec_sql" in n:
+        eff_sql = (n4["events_per_sec_sql"] / n["events_per_sec_sql"]) / (LEVELS[1] / LEVELS[0])
+    else:
+        eff_sql = eff
     md = f"""# BENCH/BASELINE.md — measured results
 
 Protocol (per /root/repo/BASELINE.md): identical deterministic input
@@ -129,8 +135,8 @@ checksum.
 
 | parallelism | applyInPandas path | events/sec | pure-Catalyst path | events/sec |
 |---|---|---|---|---|
-| local[{LEVELS[0]}]  (N)  | {n["wall_sec_pandas"]}s | {n["events_per_sec_pandas"]:,} | {n["wall_sec_sql"]}s | {n["events_per_sec_sql"]:,} |
-| local[{LEVELS[1]}] (4N) | {n4["wall_sec_pandas"]}s | {n4["events_per_sec_pandas"]:,} | {n4["wall_sec_sql"]}s | {n4["events_per_sec_sql"]:,} |
+| local[{LEVELS[0]}]  (N)  | {n.get("wall_sec_pandas", "-")}s | {n.get("events_per_sec_pandas", 0):,} | {n.get("wall_sec_sql", "-")}s | {n.get("events_per_sec_sql", 0):,} |
+| local[{LEVELS[1]}] (4N) | {n4.get("wall_sec_pandas", "-")}s | {n4.get("events_per_sec_pandas", 0):,} | {n4.get("wall_sec_sql", "-")}s | {n4.get("events_per_sec_sql", 0):,} |
 
 **Scaling efficiency N -> 4N: {eff:.2f} (applyInPandas), {eff_sql:.2f}
 (pure-Catalyst)** — target >= 0.8. Single-host caveat: local[8] and
@@ -142,9 +148,10 @@ coordination that would add cluster overhead.
 Spark conf: shuffle.partitions = {PARTITIONS}, Arrow batch 10k,
 AQE on, mapKeyDedupPolicy LAST_WIN, UTC session tz.
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    out_name = os.environ.get("SPARK_GRAFT_OUT", "BASELINE.md")
+    with open(os.path.join(REPO, "BENCH", out_name), "w") as f:
         f.write(md)
-    print(f"efficiency={eff:.3f} -> BENCH/BASELINE.md")
+    print(f"efficiency={eff:.3f} eff_sql={eff_sql:.3f} -> BENCH/{out_name}")
     return 0
 
 

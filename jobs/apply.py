@@ -38,6 +38,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="event-time bound evicting BEGIN-without-COMMIT state, e.g. '2 hours'")
     p.add_argument("--hot-key-threshold", type=int, default=500_000)
     p.add_argument("--hot-key-split", type=int, default=8)
+    p.add_argument("--collapse-impl", default="auto",
+                   choices=("auto", "sql", "sorted", "pandas"),
+                   help="collapse kernel; auto = sorted for streaming (measured regime split)")
     args = p.parse_args(argv)
 
     from mysql_time_machine_spark.config import EngineConfig
@@ -60,6 +63,7 @@ def main(argv: list[str] | None = None) -> int:
         txn_abandon_timeout=args.txn_abandon_timeout,
         hot_key_threshold=args.hot_key_threshold,
         hot_key_split=args.hot_key_split,
+        collapse_impl=args.collapse_impl,
     )
     sink = ManifestParquetSink(spark, args.sink_root, n_buckets=args.buckets)
     job = ApplyJob(spark, args.binlog_dir, sink, cfg, checkpoint_dir=args.checkpoint)
