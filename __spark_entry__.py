@@ -44,6 +44,25 @@ def _cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cdc_replay_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed CDC replay: rich column types (ENUM / latin1 / TIME2 / long —
+    CHANGES.txt:160,182,183) decoded through the registry-typed materialize
+    path, with PARTIAL changed-cells updates (CHANGES.txt:173) and
+    delete-resurrection, all under the value-hash gate. Runs the
+    pure-Catalyst kernel (batch regime of the auto split)."""
+    from fixtures.gen_binlog import TYPED_COLUMNS, sql_mode_events_typed
+    from mysql_time_machine_spark.config import EngineConfig
+    from mysql_time_machine_spark.functions import content_sha256
+    from mysql_time_machine_spark.plans.replay import replay_batch
+
+    events = sql_mode_events_typed(spark, sf_dir)
+    final = replay_batch(events, list(TYPED_COLUMNS), EngineConfig(), impl="auto")
+    return final.select(
+        "repo", "path", "commit", "lang_enum", "note", "dur", "stars", "content",
+        content_sha256().alias("content_sha256"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -443,6 +462,7 @@ def _mm_media_features(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_replay_final_state": _cdc_replay,
+        "cdc_replay_typed": _cdc_replay_typed,
         "w1_lww_collapse": _w1_lww_collapse,
         "a4_per_table_counters": _a4_per_table_counters,
         "a6_daily_changes": _a6_daily_changes,
@@ -547,7 +567,7 @@ _N_ORGS = 20
 
 
 def oracle_sql() -> dict[str, str]:
-    from fixtures.gen_binlog import SQL_MODE_FINAL_STATE_SQL
+    from fixtures.gen_binlog import SQL_MODE_FINAL_STATE_SQL, SQL_MODE_TYPED_FINAL_STATE_SQL
 
     t = _TOKENS.format(c="text")
     sw_en = _STOP["en"]
@@ -614,6 +634,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "cdc_replay_final_state": SQL_MODE_FINAL_STATE_SQL,
+        "cdc_replay_typed": SQL_MODE_TYPED_FINAL_STATE_SQL,
         "w1_lww_collapse": """
             SELECT user_id, last_event_id, last_type, last_value, n_versions FROM (
                 SELECT user_id,

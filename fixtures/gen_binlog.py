@@ -173,6 +173,208 @@ FROM (SELECT * FROM final_seed UNION ALL SELECT * FROM inserts)
 
 
 # ---------------------------------------------------------------------------
+# SQL-expressible TYPED mode — rich column types + PARTIAL updates under the
+# oracle gate. sql_mode_events carries full post-images of plain strings;
+# this variant routes the per-type canonicalizers (P2 latin1, P5 ENUM,
+# P6 TIME2 — CHANGES.txt:160,182,183) through the SAME replay/materialize
+# path, and its churn UPDATEs are partial changed-cells maps
+# (CHANGES.txt:173) so cell-wise LWW merge + delete-resurrection semantics
+# are hash-checked end to end, not just pytest-checked.
+# ---------------------------------------------------------------------------
+
+#: registry-typed business columns of the typed-mode table. `note` arrives
+#: as latin1 bytes hex-encoded in the KV cell (as the binlog carries raw
+#: column bytes), `dur` as signed TIME2 microseconds, `lang_enum` as a
+#: 1-based ENUM index.
+TYPED_COLUMNS = [
+    ("commit", "string"),
+    ("lang_enum", "enum(python|java|scala|go|other)"),
+    ("note", "latin1"),
+    ("dur", "time2"),
+    ("stars", "long"),
+    ("content", "string"),
+]
+
+#: deterministic signed-micros formulas (shared with the DuckDB oracle;
+#: the event-side one is the proven p6_time2 formula)
+_DUR_EVENT = "(event_id * 1234567) % 3020399000000 - 1000000000000"
+_DUR_DOC = "(doc_id * 7919) % 3020399000000 - 1000000000000"
+
+
+def sql_mode_events_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed sibling of ``sql_mode_events``: snapshot INSERTs carry all six
+    typed cells; churn UPDATEs are PARTIAL (commit, dur, stars only), so a
+    key deleted then updated resurrects with snapshot-only cells NULL."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_docs = docs.count()
+
+    doc_id_s = F.col("doc_id").cast("string")
+    ascii_slice = F.regexp_replace(F.substring("text", 1, 12), "[^ -~]", "")
+    dur_doc = (F.col("doc_id") * 7919) % F.lit(3020399000000) - F.lit(1000000000000)
+    snapshot = docs.select(
+        F.lit("binlog.000001").alias("log_file"),
+        F.col("doc_id").cast("long").alias("log_pos"),
+        F.concat(F.lit("uuid0:"), doc_id_s).alias("gtid"),
+        F.lit(0).cast("long").alias("gtid_seq"),
+        F.col("doc_id").cast("long").alias("txn_id"),
+        F.lit(0).alias("seq_in_txn"),
+        F.lit(1).alias("server_id"),
+        F.lit(SNAPSHOT_TS).cast("timestamp").alias("ts"),
+        F.lit("I").alias("op"),
+        F.lit(1).alias("schema_version"),
+        F.concat(F.lit("org"), (F.col("doc_id") % N_ORGS).cast("string")).alias("repo"),
+        F.concat(F.lit("src/doc_"), doc_id_s, F.lit(".txt")).alias("path"),
+        F.lit(None).cast("map<string,string>").alias("before"),
+        F.create_map(
+            F.lit("commit"), F.md5(F.concat(F.lit("c0:"), doc_id_s)),
+            F.lit("lang_enum"), ((F.col("doc_id") % 5) + 1).cast("string"),
+            F.lit("note"), F.concat(F.lit("E9"), F.hex(F.encode(ascii_slice, "UTF-8"))),
+            F.lit("dur"), dur_doc.cast("string"),
+            F.lit("stars"), (F.col("doc_id") % 1000).cast("string"),
+            F.lit("content"), F.col("text"),
+        ).alias("after"),
+        F.lit(None).cast("string").alias("ddl"),
+    )
+
+    eid = F.col("event_id").cast("string")
+    dur_ev = (F.col("event_id") * 1234567) % F.lit(3020399000000) - F.lit(1000000000000)
+    churn = events.select(
+        F.col("event_id"),
+        F.col("ts"),
+        (F.col("user_id") % n_docs).alias("tgt"),
+        F.when(F.col("event_type") == "error", "D")
+        .when(F.col("event_type") == "signup", "I")
+        .otherwise("U")
+        .alias("op"),
+        F.col("user_id"),
+    ).select(
+        F.lit("binlog.000002").alias("log_file"),
+        (F.col("event_id") + 1).cast("long").alias("log_pos"),
+        F.concat(F.lit("uuid0:"), (F.col("event_id") + 1).cast("string")).alias("gtid"),
+        (F.col("event_id") + 1).cast("long").alias("gtid_seq"),
+        (F.col("event_id") + 1).cast("long").alias("txn_id"),
+        F.lit(0).alias("seq_in_txn"),
+        F.lit(1).alias("server_id"),
+        F.col("ts"),
+        F.col("op"),
+        F.lit(1).alias("schema_version"),
+        F.when(F.col("op") == "I", F.concat(F.lit("org"), (F.col("user_id") % N_ORGS).cast("string")))
+        .otherwise(F.concat(F.lit("org"), (F.col("tgt") % N_ORGS).cast("string")))
+        .alias("repo"),
+        F.when(F.col("op") == "I", F.concat(F.lit("gen/e_"), eid, F.lit(".txt")))
+        .otherwise(F.concat(F.lit("src/doc_"), F.col("tgt").cast("string"), F.lit(".txt")))
+        .alias("path"),
+        F.lit(None).cast("map<string,string>").alias("before"),
+        F.when(F.col("op") == "D", F.lit(None).cast("map<string,string>"))
+        .when(
+            F.col("op") == "I",
+            F.create_map(
+                F.lit("commit"), F.md5(F.concat(F.lit("c:"), eid)),
+                F.lit("lang_enum"), ((F.col("user_id") % 5) + 1).cast("string"),
+                F.lit("note"), F.concat(
+                    F.lit("E9"), F.hex(F.encode(F.concat(F.lit("new:"), eid), "UTF-8"))
+                ),
+                F.lit("dur"), dur_ev.cast("string"),
+                F.lit("stars"), (F.col("event_id") % 5000).cast("string"),
+                F.lit("content"), F.concat(F.lit("new:"), eid),
+            ),
+        )
+        .otherwise(
+            # PARTIAL update: only these three cells change; lang_enum,
+            # note, content must survive (or stay dead post-delete) by the
+            # collapse kernels' cell-merge rules alone
+            F.create_map(
+                F.lit("commit"), F.md5(F.concat(F.lit("c:"), eid)),
+                F.lit("dur"), dur_ev.cast("string"),
+                F.lit("stars"), (F.col("event_id") % 5000).cast("string"),
+            ),
+        )
+        .alias("after"),
+        F.lit(None).cast("string").alias("ddl"),
+    )
+    return snapshot.unionByName(churn)
+
+
+def _duck_time2(v: str) -> str:
+    return (
+        "printf('%s%02d:%02d:%02d.%06d', "
+        f"CASE WHEN ({v}) < 0 THEN '-' ELSE '' END, "
+        f"abs({v}) // 3600000000, (abs({v}) // 60000000) % 60, "
+        f"(abs({v}) // 1000000) % 60, abs({v}) % 1000000)"
+    )
+
+
+_ENUM_LABELS = "(['python','java','scala','go','other'])"
+
+#: DuckDB oracle for ``sql_mode_events_typed``: cell-wise LWW with reset
+#: semantics, in plain SQL. Per seed key: the last DELETE (if any) is the
+#: reset; the last UPDATE after it supplies (commit, dur, stars); snapshot
+#: cells (lang_enum, note, content) survive only if the key was never
+#: deleted; a key whose last touch is the DELETE is absent.
+SQL_MODE_TYPED_FINAL_STATE_SQL = f"""
+WITH churn AS (
+    SELECT event_id,
+           user_id % (SELECT count(*) FROM documents) AS tgt,
+           user_id,
+           CASE event_type WHEN 'error' THEN 'D'
+                           WHEN 'signup' THEN 'I'
+                           ELSE 'U' END AS op,
+           event_id + 1 AS gtid_seq
+    FROM events
+),
+seed_d AS (
+    SELECT tgt, max(gtid_seq) AS last_d FROM churn WHERE op = 'D' GROUP BY tgt
+),
+seed_u AS (
+    SELECT c.tgt,
+           max(CASE WHEN c.gtid_seq > coalesce(d.last_d, -1)
+                    THEN c.gtid_seq END) AS last_u_after_d
+    FROM churn c LEFT JOIN seed_d d ON d.tgt = c.tgt
+    WHERE c.op = 'U'
+    GROUP BY c.tgt
+),
+final_seed AS (
+    SELECT 'org' || (d.doc_id % {N_ORGS}) AS repo,
+           'src/doc_' || d.doc_id || '.txt' AS path,
+           CASE WHEN u.last_u_after_d IS NOT NULL
+                THEN md5('c:' || (u.last_u_after_d - 1))
+                ELSE md5('c0:' || d.doc_id) END AS commit,
+           CASE WHEN dd.last_d IS NULL
+                THEN {_ENUM_LABELS}[(d.doc_id % 5) + 1] END AS lang_enum,
+           CASE WHEN dd.last_d IS NULL
+                THEN chr(233) || regexp_replace(substr(d.text, 1, 12), '[^ -~]', '', 'g')
+                END AS note,
+           CASE WHEN u.last_u_after_d IS NOT NULL
+                THEN {_duck_time2(f"((u.last_u_after_d - 1) * 1234567) % 3020399000000 - 1000000000000")}
+                ELSE {_duck_time2(_DUR_DOC.replace("doc_id", "d.doc_id"))} END AS dur,
+           CASE WHEN u.last_u_after_d IS NOT NULL
+                THEN ((u.last_u_after_d - 1) % 5000)::BIGINT
+                ELSE (d.doc_id % 1000)::BIGINT END AS stars,
+           CASE WHEN dd.last_d IS NULL THEN d.text END AS content
+    FROM documents d
+    LEFT JOIN seed_d dd ON dd.tgt = d.doc_id
+    LEFT JOIN seed_u u ON u.tgt = d.doc_id
+    WHERE dd.last_d IS NULL OR u.last_u_after_d IS NOT NULL
+),
+inserts AS (
+    SELECT 'org' || (user_id % {N_ORGS}) AS repo,
+           'gen/e_' || event_id || '.txt' AS path,
+           md5('c:' || event_id) AS commit,
+           {_ENUM_LABELS}[(user_id % 5) + 1] AS lang_enum,
+           chr(233) || 'new:' || event_id AS note,
+           {_duck_time2(_DUR_EVENT)} AS dur,
+           (event_id % 5000)::BIGINT AS stars,
+           'new:' || event_id AS content
+    FROM churn WHERE op = 'I'
+)
+SELECT repo, path, commit, lang_enum, note, dur, stars, content,
+       sha256(content) AS content_sha256
+FROM (SELECT * FROM final_seed UNION ALL SELECT * FROM inserts)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Rich mode (pytest)
 # ---------------------------------------------------------------------------
 

@@ -117,9 +117,16 @@ def ts_to_epoch(col: Column | str) -> Column:
 
 def enum_decode(idx: Column | str, labels: Column) -> Column:
     """P5: ENUM index -> label via the registry's parsed label array
-    (CHANGES.txt:182). 1-based, as in MySQL ENUM."""
+    (CHANGES.txt:182). 1-based, as in MySQL ENUM.
+
+    The isNotNull guard is load-bearing: Spark 4.1's runtime ElementAt
+    treats a NULL *non-literal* ordinal as -1 (last element) instead of
+    propagating NULL — only the constant-folded literal-NULL case returns
+    NULL. A missing ENUM cell (e.g. a partial update after a delete) must
+    decode to NULL, not to the last label."""
     idx = F.col(idx) if isinstance(idx, str) else idx
-    return F.element_at(labels, idx.cast("int"))
+    i = idx.cast("int")
+    return F.when(i.isNotNull(), F.element_at(labels, i))
 
 
 def time2_canonical(col: Column | str) -> Column:

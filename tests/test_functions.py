@@ -96,6 +96,21 @@ def test_enum_decode_one_based(spark):
     assert got == "green"
 
 
+def test_enum_decode_null_index_is_null(spark):
+    """Regression: Spark 4.1's runtime ElementAt maps a NULL non-literal
+    ordinal to -1 (last element) — a missing ENUM cell must decode to NULL,
+    not to the last label. The NULL must come from runtime data (a map
+    lookup), not a literal, or constant folding hides the bug."""
+    df = spark.createDataFrame([({"other_cell": "1"},)], "image map<string,string>")
+    got = df.select(
+        enum_decode(
+            F.element_at("image", F.lit("lang_enum")),
+            F.array(F.lit("red"), F.lit("green"), F.lit("blue")),
+        ).alias("l")
+    ).head()["l"]
+    assert got is None
+
+
 def test_namespace_route_first_match_wins(spark):
     from mysql_time_machine_spark.functions import namespace_route
     from mysql_time_machine_spark.sinks.base import route_sink_root

@@ -101,3 +101,42 @@ def test_table_regex_filter(spark, rich_log):
     got = replay_batch(ev, cols, EngineConfig(table_regex="^org1/.*"), impl="pandas").toPandas()
     assert len(got) > 0
     assert got["repo"].str.startswith("org1/").all()
+
+
+def test_typed_stream_kernel_parity_and_resurrection(spark):
+    """sql_mode_events_typed: all three kernels agree on the typed final
+    state, and a deleted-then-partially-updated key resurrects with the
+    snapshot-only cells (lang_enum / note / content) NULL — the decode of a
+    MISSING typed cell must be NULL, not a default (the ElementAt NULL-
+    ordinal regression surfaced exactly here)."""
+    from fixtures.gen_binlog import TYPED_COLUMNS, sql_mode_events_typed
+    from pyspark.sql import functions as F
+
+    ev = sql_mode_events_typed(spark, "/root/testdata/sf0.001").persist()
+    outs = {}
+    for impl in ("pandas", "sorted", "sql"):
+        outs[impl] = (
+            replay_batch(ev, list(TYPED_COLUMNS), EngineConfig(), impl=impl)
+            .toPandas()
+            .sort_values(["repo", "path"])
+            .reset_index(drop=True)
+        )
+    ev.unpersist()
+    cols = sorted(outs["sql"].columns)
+    for impl in ("pandas", "sorted"):
+        pd.testing.assert_frame_equal(
+            outs[impl][cols].astype(object).where(outs[impl][cols].notna(), None),
+            outs["sql"][cols].astype(object).where(outs["sql"][cols].notna(), None),
+            check_dtype=False,
+        )
+    out = outs["sql"]
+    # resurrected keys exist (commit from a churn U, snapshot cells dead)
+    res = out[(out["content"].isna()) & (out["commit"].notna())]
+    assert len(res) > 0, "fixture lost its delete-resurrection coverage"
+    assert res["lang_enum"].isna().all()
+    assert res["note"].isna().all()
+    # and never-deleted keys carry DECODED typed snapshot cells
+    alive = out[out["content"].notna()]
+    assert alive["lang_enum"].dropna().isin(["python", "java", "scala", "go", "other"]).all()
+    assert alive["note"].dropna().str.startswith("é").all()
+    assert alive["dur"].dropna().str.match(r"^-?\d{2,}:\d{2}:\d{2}\.\d{6}$").all()
