@@ -395,6 +395,22 @@ def _sim_ivf_assign(spark, sf_dir):
     return assign_centroids(emb, nlist=8).select("vec_id", "centroid_id")
 
 
+def _sim_ivf_topk_clustered(spark, sf_dir):
+    """IVF with the index layout ON DISK: table partitioned by centroid_id
+    + sidecar centroid file; the probe prunes unprobed cells at the file
+    level (partition pruning), then exact cosine top-k over the survivors."""
+    import tempfile
+
+    from mysql_time_machine_spark.operators.ann import ivf_topk_clustered, write_clustered
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 7).head()["embedding"]
+    path = tempfile.mkdtemp(prefix="mtm_ivf_clustered_") + "/clustered"
+    write_clustered(emb, path, nlist=8)
+    top = ivf_topk_clustered(spark, path, list(q), k=20, nprobe=2)
+    return top.select("vec_id", F.round("score", 6).alias("score"))
+
+
 def _sim_kmeans_assign(spark, sf_dir):
     """Assignment under kmeans_centroids (2 deterministic Lloyd iterations
     from the first-nlist seeds). The oracle unrolls the same two
@@ -493,6 +509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_ivf": _dedup_embedding_ivf,
         "sim_bruteforce_topk": _sim_bruteforce_topk,
         "sim_ivf_assign": _sim_ivf_assign,
+        "sim_ivf_topk_clustered": _sim_ivf_topk_clustered,
         "sim_kmeans_assign": _sim_kmeans_assign,
         "text_langid": _text_langid,
         "text_quality": _text_quality,
@@ -838,6 +855,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, round({_cos("embedding", "qv")}, 6) AS score
             FROM embeddings, q
             ORDER BY {_cos("embedding", "qv")} DESC, vec_id
+            LIMIT 20
+        """,
+        "sim_ivf_topk_clustered": f"""
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
+            cents AS (
+                SELECT vec_id AS centroid_id, embedding AS cvec
+                FROM embeddings WHERE vec_id < 8),
+            assigned AS (
+                SELECT vec_id, centroid_id FROM (
+                    SELECT e.vec_id, c.centroid_id,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY {_cos("e.embedding", "c.cvec")} DESC,
+                                        c.centroid_id) AS rn
+                    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+            probed AS (
+                SELECT centroid_id FROM cents, q
+                ORDER BY {_cos("cvec", "qv")} DESC, centroid_id LIMIT 2)
+            SELECT e.vec_id, round({_cos("e.embedding", "q.qv")}, 6) AS score
+            FROM assigned a
+            JOIN probed USING (centroid_id)
+            JOIN embeddings e ON e.vec_id = a.vec_id, q
+            ORDER BY {_cos("e.embedding", "q.qv")} DESC, e.vec_id
             LIMIT 20
         """,
         "sim_ivf_assign": """

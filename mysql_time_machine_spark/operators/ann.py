@@ -169,6 +169,67 @@ def assign_centroids_topp(
     )
 
 
+def write_clustered(
+    embeddings: DataFrame,
+    path: str,
+    nlist: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> None:
+    """Materialize the IVF index layout ON DISK: the table partitioned by
+    ``centroid_id`` (one directory per cell) plus the centroid table at
+    ``<path>/_centroids`` (the ``_`` prefix hides it from the data scan,
+    the same convention as ``_metadata``). This is the 100-TB shape the
+    ivf_topk docstring promises: a probe then prunes (nlist - nprobe)/nlist
+    of the data at the FILE level — Catalyst partition pruning, no scan.
+
+    ``path`` must be a shared filesystem on a real cluster (same contract
+    as any Spark write); there is deliberately no driver-local default."""
+    cents = centroids if centroids is not None else seed_centroids(embeddings, nlist, id_col, vec_col)
+    assigned = assign_centroids(embeddings, nlist, id_col, vec_col, centroids=cents)
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    cents.coalesce(1).write.mode("overwrite").parquet(f"{path}/_centroids")
+
+
+def probe_cells(centroids: DataFrame, query_vec: list[float], nprobe: int) -> list[int]:
+    """The nprobe centroid cells closest to the query (cosine desc, then
+    centroid_id — the assign_centroids tie-break). Driver-side: nlist rows."""
+    q = lit_vec(query_vec)
+    rows = (
+        centroids.select("centroid_id", cosine(F.col("centroid_vec"), q).alias("qscore"))
+        .orderBy(F.desc("qscore"), F.col("centroid_id"))
+        .limit(nprobe)
+        .collect()
+    )
+    return [int(r["centroid_id"]) for r in rows]
+
+
+def ivf_topk_clustered(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ivf_topk over a ``write_clustered`` layout: the centroid table is a
+    tiny read, cell selection happens driver-side, and the data scan caps
+    at the probed partitions — ``centroid_id IN (...)`` is a partition
+    filter, so unprobed cells' files are never opened. Same answer as
+    ``ivf_topk`` with the same centroids/nprobe (test invariant)."""
+    cents = spark.read.parquet(f"{path}/_centroids")
+    probed = probe_cells(cents, query_vec, nprobe)
+    q = lit_vec(query_vec)
+    data = spark.read.parquet(path).where(F.col("centroid_id").isin(probed))
+    return (
+        data.select(F.col(id_col), cosine(F.col(vec_col), q).alias("score"))
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec: list[float],

@@ -158,6 +158,40 @@ def test_brute_force_topk_self_first(spark, emb):
     assert all(top[i]["score"] >= top[i + 1]["score"] for i in range(len(top) - 1))
 
 
+def test_ivf_clustered_layout_parity_and_file_pruning(spark, emb, tmp_path):
+    """write_clustered + ivf_topk_clustered: identical answer to the
+    in-memory ivf_topk under the same centroids/nprobe, and the probed
+    scan opens strictly fewer data files than a full scan (Catalyst
+    partition pruning on the centroid_id directory layout)."""
+    from mysql_time_machine_spark.operators.ann import (
+        ivf_topk_clustered,
+        probe_cells,
+        write_clustered,
+    )
+
+    q = emb.where(F.col("vec_id") == 7).head()["embedding"]
+    path = str(tmp_path / "clustered")
+    write_clustered(emb, path, nlist=8)
+
+    a = [(r["vec_id"], round(r["score"], 6))
+         for r in ivf_topk(emb, list(q), k=10, nlist=8, nprobe=2).collect()]
+    b = [(r["vec_id"], round(r["score"], 6))
+         for r in ivf_topk_clustered(spark, path, list(q), k=10, nprobe=2).collect()]
+    assert a == b
+
+    cents = spark.read.parquet(f"{path}/_centroids")
+    assert cents.count() == 8
+    probed = probe_cells(cents, list(q), 2)
+    full = spark.read.parquet(path)
+    pruned = full.where(F.col("centroid_id").isin(probed))
+    n_all = full.select(F.input_file_name()).distinct().count()
+    n_pruned = pruned.select(F.input_file_name()).distinct().count()
+    assert 0 < n_pruned < n_all, (n_pruned, n_all)
+    # the partition filter must reach the scan, not run post-scan
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan.split("PartitionFilters", 1)[1][:200]
+
+
 def test_ivf_topk_recall(spark, emb):
     q = emb.where(F.col("vec_id") == 7).head()["embedding"]
     exact = [r["vec_id"] for r in brute_force_topk(emb, list(q), k=10).collect()]
