@@ -395,6 +395,20 @@ def _sim_ivf_assign(spark, sf_dir):
     return assign_centroids(emb, nlist=8).select("vec_id", "centroid_id")
 
 
+def _sim_topk_batch(spark, sf_dir):
+    """Batched exact top-k: three query vectors answered in ONE job via the
+    two-stage distributed top-k (partition-local k, then merge of P*k
+    candidates per query) — no Window, no per-query scans."""
+    from mysql_time_machine_spark.operators.ann import brute_force_topk_batch
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id").isin(3, 7, 11)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    top = brute_force_topk_batch(emb, queries, k=10)
+    return top.select("query_id", "vec_id", F.round("score", 6).alias("score"))
+
+
 def _sim_ivf_topk_clustered(spark, sf_dir):
     """IVF with the index layout ON DISK: table partitioned by centroid_id
     + sidecar centroid file; the probe prunes unprobed cells at the file
@@ -509,6 +523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_ivf": _dedup_embedding_ivf,
         "sim_bruteforce_topk": _sim_bruteforce_topk,
         "sim_ivf_assign": _sim_ivf_assign,
+        "sim_topk_batch": _sim_topk_batch,
         "sim_ivf_topk_clustered": _sim_ivf_topk_clustered,
         "sim_kmeans_assign": _sim_kmeans_assign,
         "text_langid": _text_langid,
@@ -856,6 +871,16 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings, q
             ORDER BY {_cos("embedding", "qv")} DESC, vec_id
             LIMIT 20
+        """,
+        "sim_topk_batch": f"""
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qv
+                FROM embeddings WHERE vec_id IN (3, 7, 11))
+            SELECT query_id, vec_id, round({_cos("e.embedding", "q.qv")}, 6) AS score
+            FROM embeddings e CROSS JOIN q
+            QUALIFY row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY {_cos("e.embedding", "q.qv")} DESC, e.vec_id) <= 10
         """,
         "sim_ivf_topk_clustered": f"""
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),

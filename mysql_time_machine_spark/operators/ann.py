@@ -38,6 +38,49 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_batch(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact cosine top-k for a BATCH of queries in ONE job — the serving
+    shape (don't run Q separate topk jobs over the same 100-TB scan).
+
+    Plan: broadcast the (small) query table, score every (vector, query)
+    pair map-side, then a TWO-STAGE distributed top-k: each input partition
+    reduces to its local top-k per query (groupBy(query, partition-id) +
+    array_sort/slice over a partition-local collect_list — the buffer
+    holds one partition's rows, never the table), and the final stage
+    merges P×k candidates per query. Exchange carries Q×P×k rows, not
+    N×Q scored rows; no Window, no global sort. Tie-break (score desc,
+    id asc) matches brute_force_topk exactly (test invariant)."""
+    scored = embeddings.join(F.broadcast(queries)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col(query_vec_col)).alias("score"),
+    )
+    ent = F.struct((-F.col("score")).alias("ns"), F.col(id_col).alias("id"))
+    local = scored.withColumn("_pid", F.spark_partition_id()).groupBy(
+        query_id_col, "_pid"
+    ).agg(F.slice(F.array_sort(F.collect_list(ent)), 1, k).alias("top"))
+    merged = (
+        local.select(query_id_col, F.explode("top").alias("e"))
+        .groupBy(query_id_col)
+        .agg(F.slice(F.array_sort(F.collect_list("e")), 1, k).alias("top"))
+    )
+    return merged.select(
+        query_id_col, F.explode("top").alias("e")
+    ).select(
+        F.col(query_id_col),
+        F.col("e.id").alias(id_col),
+        (-F.col("e.ns")).alias("score"),
+    )
+
+
 def seed_centroids(
     embeddings: DataFrame,
     nlist: int = 8,

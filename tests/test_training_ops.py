@@ -158,6 +158,32 @@ def test_brute_force_topk_self_first(spark, emb):
     assert all(top[i]["score"] >= top[i + 1]["score"] for i in range(len(top) - 1))
 
 
+def test_topk_batch_matches_per_query(spark, emb):
+    """brute_force_topk_batch == brute_force_topk run per query, including
+    the (score desc, vec_id asc) tie-break — and its plan is aggregate-
+    based (two-stage partition-local top-k), not a Window sort."""
+    from mysql_time_machine_spark.operators.ann import brute_force_topk_batch
+
+    qids = [3, 7, 11]
+    queries = emb.where(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    batch = brute_force_topk_batch(emb, queries, k=5)
+    got = {
+        qid: [(r["vec_id"], round(r["score"], 6))
+              for r in batch.where(F.col("query_id") == qid)
+                           .orderBy(F.desc("score"), "vec_id").collect()]
+        for qid in qids
+    }
+    for qid in qids:
+        qv = emb.where(F.col("vec_id") == qid).head()["embedding"]
+        exp = [(r["vec_id"], round(r["score"], 6))
+               for r in brute_force_topk(emb, list(qv), k=5).collect()]
+        assert got[qid] == exp, qid
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+
 def test_ivf_clustered_layout_parity_and_file_pruning(spark, emb, tmp_path):
     """write_clustered + ivf_topk_clustered: identical answer to the
     in-memory ivf_topk under the same centroids/nprobe, and the probed
