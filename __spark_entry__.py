@@ -413,13 +413,17 @@ def _sim_ivf_topk_clustered(spark, sf_dir):
     """IVF with the index layout ON DISK: table partitioned by centroid_id
     + sidecar centroid file; the probe prunes unprobed cells at the file
     level (partition pruning), then exact cosine top-k over the survivors."""
+    import hashlib
     import tempfile
 
     from mysql_time_machine_spark.operators.ann import ivf_topk_clustered, write_clustered
 
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") == 7).head()["embedding"]
-    path = tempfile.mkdtemp(prefix="mtm_ivf_clustered_") + "/clustered"
+    # deterministic per-sf staging dir, overwritten on re-run (no tempdir
+    # accumulation across driver invocations)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/mtm_ivf_clustered_{tag}/clustered"
     write_clustered(emb, path, nlist=8)
     top = ivf_topk_clustered(spark, path, list(q), k=20, nprobe=2)
     return top.select("vec_id", F.round("score", 6).alias("score"))
