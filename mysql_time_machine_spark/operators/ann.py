@@ -51,26 +51,40 @@ def brute_force_topk_batch(
     shape (don't run Q separate topk jobs over the same 100-TB scan).
 
     Plan: broadcast the (small) query table, score every (vector, query)
-    pair map-side, then a TWO-STAGE distributed top-k: each input partition
-    reduces to its local top-k per query (groupBy(query, partition-id) +
-    array_sort/slice over a partition-local collect_list — the buffer
-    holds one partition's rows, never the table), and the final stage
-    merges P×k candidates per query. Exchange carries Q×P×k rows, not
-    N×Q scored rows; no Window, no global sort. Tie-break (score desc,
-    id asc) matches brute_force_topk exactly (test invariant)."""
+    pair map-side (cosine stays in codegen), then a TWO-STAGE distributed
+    top-k: stage 1 is a NARROW per-partition reduction — a streaming
+    mapInPandas kernel holding Q bounded top-k buffers (Catalyst has no
+    top-k aggregate; a partial collect_list would ship the full
+    partition-local lists through the exchange) — and stage 2 merges the
+    ≤ P×Q×k survivors per query with one tiny aggregate. The only
+    exchange in the job carries Q×P×k rows, never N×Q scored rows; no
+    Window, no global sort. Tie-break (score desc, id asc) matches
+    brute_force_topk exactly (test invariant)."""
+    import pandas as pd
+
     scored = embeddings.join(F.broadcast(queries)).select(
         F.col(query_id_col),
         F.col(id_col),
         cosine(F.col(vec_col), F.col(query_vec_col)).alias("score"),
     )
+
+    def local_topk(batches):
+        best: dict = {}
+        for pdf in batches:
+            for qid, grp in pdf.groupby(query_id_col, sort=False):
+                cur = grp if best.get(qid) is None else pd.concat(
+                    [best[qid], grp], ignore_index=True
+                )
+                best[qid] = cur.sort_values(
+                    ["score", id_col], ascending=[False, True], kind="mergesort"
+                ).head(k)
+        for v in best.values():
+            yield v
+
+    local = scored.mapInPandas(local_topk, scored.schema)
     ent = F.struct((-F.col("score")).alias("ns"), F.col(id_col).alias("id"))
-    local = scored.withColumn("_pid", F.spark_partition_id()).groupBy(
-        query_id_col, "_pid"
-    ).agg(F.slice(F.array_sort(F.collect_list(ent)), 1, k).alias("top"))
-    merged = (
-        local.select(query_id_col, F.explode("top").alias("e"))
-        .groupBy(query_id_col)
-        .agg(F.slice(F.array_sort(F.collect_list("e")), 1, k).alias("top"))
+    merged = local.groupBy(query_id_col).agg(
+        F.slice(F.array_sort(F.collect_list(ent)), 1, k).alias("top")
     )
     return merged.select(
         query_id_col, F.explode("top").alias("e")

@@ -56,9 +56,9 @@ def cap(title: str, df) -> str:
 def main() -> int:
     from pyspark.sql import functions as F
 
-    from fixtures.gen_binlog import sql_mode_events
+    from fixtures.gen_binlog import TYPED_COLUMNS, sql_mode_events, sql_mode_events_typed
     from mysql_time_machine_spark.config import EngineConfig
-    from mysql_time_machine_spark.operators.ann import assign_centroids
+    from mysql_time_machine_spark.operators.ann import assign_centroids, brute_force_topk_batch
     from mysql_time_machine_spark.operators.dedup import (
         embedding_dup_pairs_ivf,
         minhash_lsh_pairs,
@@ -100,6 +100,17 @@ def main() -> int:
                    ngram_jaccard_pairs(docs, threshold=0.2)))
     out.append(cap("assign_centroids (max_by argmin, partial/final aggregate)",
                    assign_centroids(emb, nlist=8)))
+    out.append(cap(
+        "cdc_replay_typed (typed materialize: ENUM/latin1/TIME2 decode in codegen)",
+        replay_batch(sql_mode_events_typed(spark, SF), list(TYPED_COLUMNS),
+                     EngineConfig(), impl="sql"),
+    ))
+    queries = emb.where(F.col("vec_id").isin(3, 7)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    out.append(cap(
+        "brute_force_topk_batch (two-stage distributed top-k, no Window)",
+        brute_force_topk_batch(emb, queries, k=5),
+    ))
     out.append(cap("embedding_dup_pairs_ivf (centroid-cell blocked self-join)",
                    embedding_dup_pairs_ivf(emb, threshold=0.4, nlist=8)))
     # minhash runs eagerly (stages + unpersists); snapshot the staged read's
