@@ -486,6 +486,24 @@ def _curate_verdicts(spark, sf_dir):
     return curate(_t(spark, sf_dir, "documents"), min_quality=0.5, langs=("en", "de"))
 
 
+def _curate_with_neardup(spark, sf_dir):
+    """The full curation ladder with the near-dup tier plugged in:
+    exact-dup canon > MinHash-LSH + connected-components cluster losers
+    ('near_dup') > language gate > quality gate. Composes three package
+    primitives end-to-end under one oracle."""
+    from mysql_time_machine_spark.operators.curate import curate
+    from mysql_time_machine_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    clusters = connected_components(
+        minhash_lsh_pairs(docs, n_hashes=16, bands=4, threshold=0.2)
+    )
+    return curate(docs, min_quality=0.5, langs=("en", "de"), clusters=clusters)
+
+
 def _mm_media_features(spark, sf_dir):
     from mysql_time_machine_spark.operators.multimodal import extract_features, media_from_documents
 
@@ -535,6 +553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_count": _text_token_count,
         "text_fingerprint": _text_fingerprint,
         "curate_verdicts": _curate_verdicts,
+        "curate_with_neardup": _curate_with_neardup,
         "mm_media_features": _mm_media_features,
     }
 
@@ -983,6 +1002,36 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'keep' END AS verdict,
                    lang_guess, quality
             FROM scored JOIN canon USING (m)
+        """,
+        "curate_with_neardup": f"""
+            WITH RECURSIVE {_LSH_CTES},
+            lsh_pairs AS ({_LSH_PAIRS_SELECT}),
+            edges AS (
+                SELECT a_id AS u, b_id AS v FROM lsh_pairs
+                UNION
+                SELECT b_id, a_id FROM lsh_pairs),
+            reach(u, v) AS (
+                SELECT u, v FROM edges
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+            clusters AS (
+                SELECT u AS id, least(u, min(v)) AS cluster_id
+                FROM reach GROUP BY u),
+            scored AS (
+                SELECT doc_id, md5(text) AS m,
+                       {_sql_langid()} AS lang_guess,
+                       round({quality}, 6) AS quality
+                FROM documents),
+            canon AS (SELECT m, min(doc_id) AS c FROM scored GROUP BY m)
+            SELECT doc_id,
+                   CASE WHEN doc_id != c THEN 'dup'
+                        WHEN cl.id IS NOT NULL AND doc_id != cl.cluster_id THEN 'near_dup'
+                        WHEN lang_guess NOT IN ('en', 'de') THEN 'lang'
+                        WHEN quality < 0.5 THEN 'quality'
+                        ELSE 'keep' END AS verdict,
+                   lang_guess, quality
+            FROM scored JOIN canon USING (m)
+            LEFT JOIN clusters cl ON cl.id = doc_id
         """,
         "mm_media_features": """
             SELECT doc_id AS media_id,

@@ -6,13 +6,19 @@ pipeline actually runs, built from the primitives in this package:
   3. quality gate (length / stopword / punctuation score)
 
 Output: one row per input document with the verdict and why —
-'keep' | 'dup' (a lower-id exact copy exists) | 'lang' (guessed language
-not allowed) | 'quality' (score below threshold). Gates are ordered:
-a duplicate is 'dup' even if it would also fail quality, so downstream
-counts decompose cleanly. Everything is one shuffle (the dup groupBy —
-map-side combined) plus codegen'd scalar gates; at 100 TB the near-dup
-tier (MinHash-LSH + connected_components) slots in between steps 1 and 2
-as an extra anti-join on cluster membership.
+'keep' | 'dup' (a lower-id exact copy exists) | 'near_dup' (a non-
+canonical member of a near-dup cluster, when the ``clusters`` tier is
+plugged in) | 'lang' (guessed language not allowed) | 'quality' (score
+below threshold). Gates are ordered: a duplicate is 'dup' even if it
+would also fail quality, so downstream counts decompose cleanly.
+Everything is one shuffle (the dup groupBy — map-side combined) plus one
+left join on cluster membership when the near-dup tier is on, plus
+codegen'd scalar gates.
+
+The near-dup tier composes the package's own primitives —
+``connected_components(minhash_lsh_pairs(docs))`` — and keeps the
+min-id member of each cluster (cluster_id IS that min id), mirroring the
+exact-dup canonicalization rule one level up.
 """
 
 from __future__ import annotations
@@ -29,8 +35,15 @@ def curate(
     langs: tuple[str, ...] = ("en", "de", "es", "fr"),
     text_col: str = "text",
     id_col: str = "doc_id",
+    clusters: DataFrame | None = None,
 ) -> DataFrame:
-    """One verdict row per document: (id, verdict, lang_guess, quality)."""
+    """One verdict row per document: (id, verdict, lang_guess, quality).
+
+    ``clusters`` (optional) is a near-dup clustering in the
+    ``connected_components`` output shape (id, cluster_id); non-canonical
+    members (id != cluster_id) verdict as 'near_dup' unless they are
+    already exact-dup losers ('dup' wins — it is the stronger, cheaper
+    signal and keeps the tier counts disjoint)."""
     scored = docs.select(
         F.col(id_col),
         F.md5(F.col(text_col)).alias("_md5"),
@@ -38,16 +51,20 @@ def curate(
         F.round(quality_score(F.col(text_col)), 6).alias("quality"),
     )
     canonical = scored.groupBy("_md5").agg(F.min(id_col).alias("_canon"))
-    return (
-        scored.join(canonical, "_md5")
-        .select(
-            id_col,
-            F.when(F.col(id_col) != F.col("_canon"), F.lit("dup"))
-            .when(~F.col("lang_guess").isin(*langs), F.lit("lang"))
-            .when(F.col("quality") < min_quality, F.lit("quality"))
-            .otherwise(F.lit("keep"))
-            .alias("verdict"),
-            "lang_guess",
-            "quality",
+    out = scored.join(canonical, "_md5")
+    verdict = F.when(F.col(id_col) != F.col("_canon"), F.lit("dup"))
+    if clusters is not None:
+        losers = clusters.where(F.col("id") != F.col("cluster_id")).select(
+            F.col("id").alias(id_col), F.lit(True).alias("_near_loser")
         )
+        out = out.join(losers, id_col, "left")
+        verdict = verdict.when(F.col("_near_loser"), F.lit("near_dup"))
+    return out.select(
+        id_col,
+        verdict.when(~F.col("lang_guess").isin(*langs), F.lit("lang"))
+        .when(F.col("quality") < min_quality, F.lit("quality"))
+        .otherwise(F.lit("keep"))
+        .alias("verdict"),
+        "lang_guess",
+        "quality",
     )

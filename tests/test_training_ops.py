@@ -576,3 +576,31 @@ def test_curate_verdict_precedence(spark):
     assert got[3] == "keep"
     assert got[4] == "lang"
     assert got[5] == "quality"
+
+
+def test_curate_neardup_tier_precedence(spark):
+    """With the clusters tier plugged in: exact 'dup' still wins over
+    'near_dup'; a cluster loser that is NOT an exact dup verdicts
+    'near_dup' even if it would also fail a later gate; the cluster
+    canonical (id == cluster_id) passes through to the scalar gates."""
+    from mysql_time_machine_spark.operators.curate import curate
+
+    good = ("the quick brown fox jumps over the lazy dog and runs to the river "
+            "with the happy children for a long day of play in the sun")
+    d = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=good),
+            Row(doc_id=2, text=good),                  # exact dup of 1
+            Row(doc_id=3, text=good + " extra tail"),  # near-dup of 1
+            Row(doc_id=4, text="the and of to in is that"),  # quality fail
+        ]
+    )
+    clusters = spark.createDataFrame(
+        [Row(id=1, cluster_id=1), Row(id=2, cluster_id=1), Row(id=3, cluster_id=1)]
+    )
+    got = {r["doc_id"]: r["verdict"]
+           for r in curate(d, langs=("en", "de"), clusters=clusters).collect()}
+    assert got[1] == "keep"       # cluster canonical
+    assert got[2] == "dup"        # exact dup outranks near_dup
+    assert got[3] == "near_dup"   # cluster loser, not an exact dup
+    assert got[4] == "quality"    # not in any cluster
