@@ -486,6 +486,15 @@ def _curate_verdicts(spark, sf_dir):
     return curate(_t(spark, sf_dir, "documents"), min_quality=0.5, langs=("en", "de"))
 
 
+def _dedup_stream_exact(spark, sf_dir):
+    """Streaming exact dedup: file-source readStream over the corpus,
+    stateful md5-groupBy aggregate, Trigger.AvailableNow into a memory
+    sink — final state byte-equal to the batch aggregate (the oracle)."""
+    from mysql_time_machine_spark.operators.dedup import exact_dedup_stream
+
+    return exact_dedup_stream(spark, f"{sf_dir}/documents.parquet")
+
+
 def _curate_with_neardup(spark, sf_dir):
     """The full curation ladder with the near-dup tier plugged in:
     exact-dup canon > MinHash-LSH + connected-components cluster losers
@@ -554,6 +563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _text_fingerprint,
         "curate_verdicts": _curate_verdicts,
         "curate_with_neardup": _curate_with_neardup,
+        "dedup_stream_exact": _dedup_stream_exact,
         "mm_media_features": _mm_media_features,
     }
 
@@ -812,6 +822,12 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_mktsegment, event_type
         """,
         "dedup_exact": """
+            SELECT md5(text) AS text_md5, min(doc_id) AS canonical_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        # the streaming fold must converge to exactly the batch aggregate
+        "dedup_stream_exact": """
             SELECT md5(text) AS text_md5, min(doc_id) AS canonical_id,
                    count(*) AS n_copies
             FROM documents GROUP BY md5(text)

@@ -50,6 +50,55 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def exact_dedup_stream(
+    spark,
+    source_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_files_per_trigger: int = 2,
+) -> DataFrame:
+    """Streaming exact dedup: tail ``source_path`` as a file-source stream
+    (new corpus drops arrive as files), fold each micro-batch into the
+    stateful ``groupBy(md5(text))`` aggregate — the same one-shuffle,
+    map-side-combined shape as batch ``exact_dedup``, with the running
+    (canonical_id, n_copies) per distinct text held in streaming state.
+    Runs with Trigger.AvailableNow (bounded backfill: process everything
+    present, in file order, then stop) into a memory sink and returns the
+    materialized final table — byte-equal to batch exact_dedup over the
+    same files (oracle invariant). On an unbounded corpus you would bound
+    state with a watermark on an ingest-time column; exact dedup
+    deliberately keeps ALL fingerprints (a dup of a year-old document is
+    still a dup), so state scales with distinct content — the same sizing
+    rule as the batch aggregate's shuffle."""
+    import os as _os
+    import uuid as _uuid
+
+    static = spark.read.parquet(source_path)
+    reader = spark.readStream.schema(static.schema).option(
+        "maxFilesPerTrigger", max_files_per_trigger
+    )
+    if _os.path.isfile(source_path):
+        # the file source requires a directory: stream the parent with a
+        # filename glob (how you'd scope one table in a multi-table drop dir)
+        base, fname = _os.path.split(source_path)
+        stream = reader.option("pathGlobFilter", fname).parquet(base)
+    else:
+        stream = reader.parquet(source_path)
+    agg = stream.groupBy(F.md5(F.col(text_col)).alias("text_md5")).agg(
+        F.min(id_col).alias("canonical_id"), F.count("*").alias("n_copies")
+    )
+    name = f"dedup_stream_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def fingerprint_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Near-exact: identical after lowercase/punct/whitespace canon."""
     return (

@@ -604,3 +604,28 @@ def test_curate_neardup_tier_precedence(spark):
     assert got[2] == "dup"        # exact dup outranks near_dup
     assert got[3] == "near_dup"   # cluster loser, not an exact dup
     assert got[4] == "quality"    # not in any cluster
+
+
+def test_exact_dedup_stream_multibatch_matches_batch(spark, tmp_path):
+    """Streaming exact dedup over a MULTI-FILE drop dir (maxFilesPerTrigger=1
+    -> one micro-batch per file, duplicates split ACROSS batches) converges
+    to exactly the batch aggregate."""
+    from mysql_time_machine_spark.operators.dedup import exact_dedup, exact_dedup_stream
+
+    rows = [Row(doc_id=i, text=f"text-{i % 7}") for i in range(40)]
+    src = str(tmp_path / "drops")
+    for part in range(4):
+        spark.createDataFrame(rows[part * 10 : (part + 1) * 10]).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    docs = spark.read.parquet(src)
+    exp = sorted(
+        (r["text_md5"], r["canonical_id"], r["n_copies"])
+        for r in exact_dedup(docs).collect()
+    )
+    got = sorted(
+        (r["text_md5"], r["canonical_id"], r["n_copies"])
+        for r in exact_dedup_stream(spark, src, max_files_per_trigger=1).collect()
+    )
+    assert got == exp and len(got) == 7
