@@ -9,6 +9,15 @@ binlog stream -> salted applyInPandas reassembly -> fenced manifest MERGE —
 reported both as wall seconds and derived change-events/sec. Scaling
 evidence across parallelism levels lives in BENCH/scaling.py (writes
 BENCH/BASELINE.md).
+
+Noise robustness: this box's background load swings single runs 2-3x
+(documented in BENCH/SCALING_r3_pairA.md), so every timed query runs
+SPARK_GRAFT_TRIALS times (default 3), INTERLEAVED — trial loop outermost,
+so a load spike degrades one trial of every query instead of every trial
+of one query — and the committed number is the per-query best (the
+least-interfered measurement, the same policy BENCH/scaling.py uses).
+The full trial spread is recorded in the JSON ("trials") so a real
+regression is distinguishable from a noisy trial.
 """
 
 from __future__ import annotations
@@ -27,6 +36,8 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 #: event-log amplification for the CDC apply benchmark (churn is replayed
 #: K times with shifted gtids — deterministic, no RNG)
 AMPLIFY = int(os.environ.get("SPARK_GRAFT_AMPLIFY", "10"))
+#: best-of-N trials per timed query (interleaved)
+TRIALS = int(os.environ.get("SPARK_GRAFT_TRIALS", "3"))
 
 
 def amplified_events(spark, sf_dir, k):
@@ -49,6 +60,66 @@ def amplified_events(spark, sf_dir, k):
     )
 
 
+def with_txn_markers(ev, txn_width: int = 10):
+    """Re-transaction the event log for the v2 buffered path: every
+    ``txn_width`` consecutive gtids form one transaction, wrapped in
+    BEGIN/COMMIT marker events (the sql-mode log is marker-free one-row
+    transactions, which would never exercise the uuidBuffer). The BEGIN
+    rides the txn's min gtid and the COMMIT its max, so when epoch files
+    are cut on gtid boundaries the COMMIT always lands in the txn's LAST
+    file — rows are never orphaned behind their commit."""
+    from pyspark.sql import functions as F
+
+    ev2 = ev.withColumn(
+        "txn_id", F.floor(F.col("gtid_seq") / F.lit(txn_width)).cast("long")
+    )
+    txns = ev2.groupBy("txn_id").agg(
+        F.min("gtid_seq").alias("_g0"),
+        F.max("gtid_seq").alias("_g1"),
+        F.max("ts").alias("_ts"),
+        F.max("log_file").alias("_lf"),
+    )
+
+    def marker(op, gcol, seq):
+        return txns.select(
+            F.col("_lf").alias("log_file"),
+            F.col(gcol).alias("log_pos"),
+            F.concat(F.lit("uuid0:m"), F.col("txn_id").cast("string")).alias("gtid"),
+            F.col(gcol).alias("gtid_seq"),
+            F.col("txn_id"),
+            F.lit(seq).alias("seq_in_txn"),
+            F.lit(1).alias("server_id"),
+            F.col("_ts").alias("ts"),
+            F.lit(op).alias("op"),
+            F.lit(1).alias("schema_version"),
+            F.lit(None).cast("string").alias("repo"),
+            F.lit(None).cast("string").alias("path"),
+            F.lit(None).cast("map<string,string>").alias("before"),
+            F.lit(None).cast("map<string,string>").alias("after"),
+            F.lit(op).alias("ddl"),
+        )
+
+    return ev2.unionByName(marker("BEGIN", "_g0", -1)).unionByName(
+        marker("COMMIT", "_g1", 99)
+    )
+
+
+def _write_binlog_files(spark, ev, tmp, binlog_dir, n_ep, split_col):
+    """n_ep epoch files, written sequentially (mtime order == replay order).
+    ``split_col`` buckets events into files; equal values never straddle."""
+    os.makedirs(binlog_dir)
+    for e in range(n_ep):
+        stage = os.path.join(tmp, f"stage_{os.path.basename(binlog_dir)}_{e}")
+        ev.where(split_col == e).coalesce(4).write.parquet(stage)
+        for i, fn in enumerate(sorted(os.listdir(stage))):
+            if fn.endswith(".parquet"):
+                shutil.copyfile(
+                    os.path.join(stage, fn),
+                    os.path.join(binlog_dir, f"epoch-{e:03d}-{i:02d}.parquet"),
+                )
+        time.sleep(0.05)
+
+
 def main():
     from pyspark.sql import functions as F
 
@@ -58,97 +129,134 @@ def main():
     spark = get_spark("mtm-bench", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS))
     import __spark_entry__ as entry_mod
 
-    timings: dict[str, float] = {}
+    from mysql_time_machine_spark.config import EngineConfig
+    from mysql_time_machine_spark.plans.replay import replay_batch
+    from mysql_time_machine_spark.schema import BASE_COLUMNS
+    from mysql_time_machine_spark.sinks.manifest import ManifestParquetSink
+    from mysql_time_machine_spark.streaming.job import ApplyJob
+
+    trials: dict[str, list[float]] = {}
     extra: dict[str, float] = {}
 
-    def timed(name, fn):
-        t0 = time.time()
-        fn()
-        timings[name] = round(time.time() - t0, 3)
-
+    # ---- setup (untimed) --------------------------------------------------
     # warm the JVM/file listing outside the timed region
     for t in ("events", "documents", "embeddings", "lineitem", "customer", "orders"):
         spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
 
-    # -- headline: end-to-end CDC apply (batch replay of the amplified log) --
     ev = amplified_events(spark, SF_DIR, AMPLIFY)
     n_row_events = ev.where(F.col("op").isin("I", "U", "D")).count()
+    extra["cdc_row_events"] = n_row_events
 
+    tmp = tempfile.mkdtemp(prefix="mtm_bench_")
+    n_ep = 4
+    # plain leg: txn-atomic epoch files (v1 invariant)
+    _write_binlog_files(
+        spark, ev, tmp, os.path.join(tmp, "binlog"), n_ep, F.pmod(F.col("txn_id"), n_ep)
+    )
+    # buffered leg: BEGIN/COMMIT-marked multi-row txns, files cut on gtid
+    # buckets so transactions straddle micro-batch boundaries — the
+    # cross-batch uuidBuffer (applyInPandasWithState + Arrow state codec)
+    # is on the measured path
+    ev_marked = with_txn_markers(ev, txn_width=10)
+    qs_bounds = ev.approxQuantile("gtid_seq", [i / n_ep for i in range(1, n_ep)], 0.001)
+    file_of = F.lit(0)
+    for b in qs_bounds:
+        file_of = file_of + (F.col("gtid_seq") > F.lit(b)).cast("int")
+    _write_binlog_files(
+        spark, ev_marked, tmp, os.path.join(tmp, "binlog_buffered"), n_ep, file_of
+    )
+
+    # ---- timed suite ------------------------------------------------------
     def run_cdc(impl):
-        from mysql_time_machine_spark.config import EngineConfig
-        from mysql_time_machine_spark.plans.replay import replay_batch
-        from mysql_time_machine_spark.schema import BASE_COLUMNS
-
-        out = replay_batch(ev, list(BASE_COLUMNS), EngineConfig(shuffle_partitions=int(CPUS)), impl=impl)
+        out = replay_batch(
+            ev, list(BASE_COLUMNS), EngineConfig(shuffle_partitions=int(CPUS)), impl=impl
+        )
         # force full materialization of every column (checksum, no collect)
         out.agg(F.sum(F.crc32("content")), F.sum(F.crc32("commit")), F.count("*")).collect()
 
-    timed("cdc_replay_pandas", lambda: run_cdc("pandas"))
-    timed("cdc_replay_sql", lambda: run_cdc("sql"))
-    extra["cdc_row_events"] = n_row_events
-    extra["cdc_events_per_sec_pandas"] = round(n_row_events / timings["cdc_replay_pandas"], 1)
-    extra["cdc_events_per_sec_sql"] = round(n_row_events / timings["cdc_replay_sql"], 1)
+    def run_stream(binlog_name, buffered, trial):
+        sink_dir = os.path.join(tmp, f"sink_{binlog_name}_t{trial}")
+        sink = ManifestParquetSink(spark, sink_dir, n_buckets=int(CPUS))
+        cfg = EngineConfig(
+            shuffle_partitions=int(CPUS),
+            max_files_per_trigger=8,
+            write_changelog=False,
+            buffer_transactions=buffered,
+        )
+        ApplyJob(
+            spark,
+            os.path.join(tmp, binlog_name),
+            sink,
+            cfg,
+            checkpoint_dir=os.path.join(tmp, f"ckpt_{binlog_name}_t{trial}"),
+        ).run_available()
+        return sink_dir
 
-    # -- streaming apply with the fenced sink (the full north-star path) -----
-    from mysql_time_machine_spark.config import EngineConfig
-    from mysql_time_machine_spark.sinks.manifest import ManifestParquetSink
-    from mysql_time_machine_spark.streaming.job import ApplyJob
+    qs = entry_mod.queries()
+    sink_dirs: dict[str, str] = {}
 
-    tmp = tempfile.mkdtemp(prefix="mtm_bench_")
-    try:
-        binlog_dir = os.path.join(tmp, "binlog")
-        os.makedirs(binlog_dir)
-        # 4 epoch files, written sequentially (setup, untimed)
-        n_ep = 4
-        for e in range(n_ep):
-            ev.where(F.pmod(F.col("txn_id"), n_ep) == e).coalesce(4).write.parquet(
-                os.path.join(tmp, f"stage{e}")
+    def suite(trial):
+        yield "cdc_replay_pandas", lambda: run_cdc("pandas")
+        yield "cdc_replay_sql", lambda: run_cdc("sql")
+        yield (
+            "cdc_stream_apply",
+            lambda: sink_dirs.__setitem__("plain", run_stream("binlog", False, trial)),
+        )
+        yield (
+            "cdc_stream_apply_buffered",
+            lambda: sink_dirs.__setitem__(
+                "buffered", run_stream("binlog_buffered", True, trial)
+            ),
+        )
+        for name in (
+            "q1_pricing_summary",
+            "w1_lww_collapse",
+            "events_enriched",
+            "dedup_exact",
+            "dedup_simhash",
+            "sim_bruteforce_topk",
+            "text_quality",
+            "mm_media_features",
+            "dedup_minhash_lsh",
+        ):
+            yield name, lambda f=qs[name]: f(spark, SF_DIR).agg(F.count("*")).collect()
+
+        def run_simhash_pairs():
+            extra["simhash_pairs_found"] = (
+                qs["dedup_simhash_pairs"](spark, SF_DIR).agg(F.count("*")).collect()[0][0]
             )
-            for i, fn in enumerate(sorted(os.listdir(os.path.join(tmp, f"stage{e}")))):
-                if fn.endswith(".parquet"):
-                    shutil.copyfile(
-                        os.path.join(tmp, f"stage{e}", fn),
-                        os.path.join(binlog_dir, f"epoch-{e:03d}-{i:02d}.parquet"),
-                    )
-            time.sleep(0.05)
 
-        def run_stream():
-            sink = ManifestParquetSink(spark, os.path.join(tmp, "sink"), n_buckets=int(CPUS))
-            cfg = EngineConfig(shuffle_partitions=int(CPUS), max_files_per_trigger=8, write_changelog=False)
-            ApplyJob(spark, binlog_dir, sink, cfg, checkpoint_dir=os.path.join(tmp, "ckpt")).run_available()
+        yield "dedup_simhash_pairs", run_simhash_pairs
 
-        timed("cdc_stream_apply", run_stream)
-        extra["cdc_stream_events_per_sec"] = round(n_row_events / timings["cdc_stream_apply"], 1)
+    try:
+        for trial in range(TRIALS):
+            for name, fn in suite(trial):
+                t0 = time.time()
+                fn()
+                trials.setdefault(name, []).append(round(time.time() - t0, 3))
+
+        timings = {name: min(ts) for name, ts in trials.items()}
+        extra["cdc_events_per_sec_pandas"] = round(
+            n_row_events / timings["cdc_replay_pandas"], 1
+        )
+        extra["cdc_events_per_sec_sql"] = round(n_row_events / timings["cdc_replay_sql"], 1)
+        extra["cdc_stream_events_per_sec"] = round(
+            n_row_events / timings["cdc_stream_apply"], 1
+        )
+        extra["cdc_stream_buffered_events_per_sec"] = round(
+            n_row_events / timings["cdc_stream_apply_buffered"], 1
+        )
+        # parity evidence: both streaming legs converge to the same table
+        for leg, d in sink_dirs.items():
+            extra[f"cdc_stream_{leg}_final_rows"] = (
+                ManifestParquetSink(spark, d).read().count()
+            )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
-    # -- operator headliners ---------------------------------------------------
-    qs = entry_mod.queries()
-    for name in (
-        "q1_pricing_summary",
-        "w1_lww_collapse",
-        "events_enriched",
-        "dedup_exact",
-        "dedup_simhash",
-        "sim_bruteforce_topk",
-        "text_quality",
-        "mm_media_features",
-    ):
-        df_fn = qs[name]
-        timed(name, lambda f=df_fn: f(spark, SF_DIR).agg(F.count("*")).collect())
-
-    timed(
-        "dedup_minhash_lsh",
-        lambda: qs["dedup_minhash_lsh"](spark, SF_DIR).agg(F.count("*")).collect(),
-    )
-    def run_simhash_pairs():
-        extra["simhash_pairs_found"] = qs["dedup_simhash_pairs"](spark, SF_DIR).agg(
-            F.count("*")
-        ).collect()[0][0]
-
-    timed("dedup_simhash_pairs", run_simhash_pairs)
-    # scale evidence for the pigeonhole banding: candidates examined by the
-    # banded equi-join vs the all-pairs count it replaces
+    # ---- untimed scale evidence ------------------------------------------
+    # pigeonhole banding: candidates examined by the banded equi-join vs the
+    # all-pairs count it replaces
     from mysql_time_machine_spark.operators.dedup import _simhash_chunks, simhash
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
@@ -191,6 +299,8 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "trials": trials,
+                "trial_policy": f"best-of-{TRIALS}, interleaved (trial loop outermost)",
                 "sf": sf,
                 "cpus": int(CPUS),
                 "amplify": AMPLIFY,
