@@ -340,10 +340,14 @@ def _dedup_simhash(spark, sf_dir):
     from mysql_time_machine_spark.operators.dedup import simhash
 
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", simhash("text").alias("simhash32"))
+    return docs.select("doc_id", simhash("text").alias("simhash64"))
 
 
 def _dedup_simhash_pairs(spark, sf_dir):
+    """64-bit fingerprints at Hamming <= 4 — the standard web-dedup
+    operating point for 64-bit SimHash (Manku et al., WWW'07, use k=3);
+    the oracle is the deliberately-naive quadratic join, so the banded
+    plan is checked for exact pair-set equality."""
     from mysql_time_machine_spark.operators.dedup import simhash_pairs
 
     docs = _t(spark, sf_dir, "documents")
@@ -593,25 +597,48 @@ def _sql_shingles(c: str = "text", n: int = 3) -> str:
       END)"""
 
 
-def _sql_hex8_to_int(expr: str) -> str:
-    """First 8 hex chars of md5 -> BIGINT, via digit positions (DuckDB has
-    no conv())."""
+def _sql_hex8_to_int(expr: str, start: int = 1) -> str:
+    """8 hex chars of md5 starting at ``start`` -> BIGINT, via digit
+    positions (DuckDB has no conv())."""
     terms = []
     for i in range(8):
         mult = 16 ** (7 - i)
-        terms.append(f"(strpos('0123456789abcdef', substr({expr}, {i + 1}, 1)) - 1) * {mult}")
+        terms.append(
+            f"(strpos('0123456789abcdef', substr({expr}, {start + i}, 1)) - 1) * {mult}"
+        )
     return "(" + " + ".join(terms) + ")"
 
 
+def _sql_hash64(expr: str) -> str:
+    """First 16 hex chars of an md5 digest -> the full 64-bit value as a
+    SIGNED BIGINT — the exact DuckDB twin of the Spark engine's
+    ``_md5_hex16_to_long`` (dedup.py): high half sign-adjusted before the
+    multiply so no intermediate overflows, result is two's complement."""
+    hi = _sql_hex8_to_int(expr, 1)
+    lo = _sql_hex8_to_int(expr, 9)
+    return (
+        f"((CASE WHEN {hi} >= 2147483648 THEN {hi} - 4294967296 ELSE {hi} END)"
+        f" * 4294967296 + {lo})"
+    )
+
+
 def _sql_simhash(c: str = "text") -> str:
+    """64-bit SimHash twin. Bit tests use `&` (two's-complement-exact on
+    negative BIGINTs, unlike `//`/`%`); bit 63 is tested as `h < 0` and
+    contributes the signed representation of 2^63, placed FIRST in the sum
+    so every partial sum stays inside the signed range."""
     t = f"list_distinct({_TOKENS.format(c=c)})"
-    h = _sql_hex8_to_int("md5(t)")
+    h = _sql_hash64("md5(t)")
     hs = f"list_transform({t}, t -> {h})"
     bits = []
-    for bit in range(32):
+    top = 1 << 63
+    bits.append(
+        f"(CASE WHEN list_sum(list_transform({hs}, h -> CASE WHEN h < 0 THEN 1 ELSE -1 END)) > 0 THEN (-{top})::BIGINT ELSE 0 END)"
+    )
+    for bit in range(63):
         p = 2**bit
         bits.append(
-            f"(CASE WHEN list_sum(list_transform({hs}, h -> CASE WHEN (h // {p}) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN {p} ELSE 0 END)"
+            f"(CASE WHEN list_sum(list_transform({hs}, h -> CASE WHEN (h & {p}) != 0 THEN 1 ELSE -1 END)) > 0 THEN {p} ELSE 0 END)"
         )
     return "(" + " + ".join(bits) + ")::BIGINT"
 
@@ -869,7 +896,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT u AS id, least(u, min(v)) AS cluster_id
             FROM reach GROUP BY u
         """,
-        "dedup_simhash": f"SELECT doc_id, {_sql_simhash()} AS simhash32 FROM documents",
+        "dedup_simhash": f"SELECT doc_id, {_sql_simhash()} AS simhash64 FROM documents",
         # the oracle is intentionally the naive quadratic join — it checks
         # the banded Spark plan finds EXACTLY the same pairs
         "dedup_simhash_pairs": f"""

@@ -20,13 +20,16 @@ Scale notes (the part that matters at 100 TB):
   of R hashes bucket-join candidates; only bucket collisions are verified.
   Hash fn is md5(seed || shingle) so the DuckDB oracle can reproduce it
   bit-for-bit (xxhash64 would be faster but is not portable to the gate).
-- 5 compresses each doc to one 32-bit integer; near-dup = small Hamming
+- 5 compresses each doc to one 64-bit integer; near-dup = small Hamming
   distance. Pair generation uses PIGEONHOLE banding: the fingerprint is
   split into (max_hamming + 1) bit-chunks, and any pair within Hamming
   <= max_hamming must agree on at least one chunk — so candidates come
   from an equi-join on (chunk_idx, chunk_value), verified with
   bit_count(xor) (both Spark and DuckDB builtins). Same shape as the
-  MinHash LSH join; never all-pairs.
+  MinHash LSH join; never all-pairs. 64 bits matter at corpus scale: a
+  32-bit space saturates by birthday collision around ~10^5 distinct
+  documents, making unrelated docs Hamming-0 "exact" near-dups; 2^64
+  pushes that to ~10^10.
 """
 
 from __future__ import annotations
@@ -388,7 +391,22 @@ def minhash_lsh_pairs(
 # 5: SimHash
 # ---------------------------------------------------------------------------
 
-SIMHASH_BITS = 32  # md5-hex prefix parsed to a non-negative int32-ish value
+SIMHASH_BITS = 64  # full 64-bit fingerprint, carried as a SIGNED long
+
+
+def _md5_hex16_to_long(m: F.Column) -> F.Column:
+    """First 16 hex chars of an md5 digest -> the full 64-bit value as a
+    SIGNED long (two's complement: bit 63 set reads as negative). Built
+    from two 8-hex-char ``conv`` parses — ``conv`` on 16 chars returns an
+    unsigned decimal STRING that overflows a signed-long cast — combined
+    with overflow-free arithmetic (safe under ANSI mode): the high half is
+    sign-adjusted BEFORE the multiply, so every intermediate stays inside
+    [-2^63, 2^63). The identical construction exists in the DuckDB oracle
+    (``_sql_hash64`` in __spark_entry__)."""
+    hi = F.conv(F.substring(m, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(m, 9, 8), 16, 10).cast("long")
+    signed_hi = F.when(hi >= F.lit(1 << 31), hi - F.lit(1 << 32)).otherwise(hi)
+    return signed_hi * F.lit(1 << 32) + lo
 
 
 def simhash(text_col: str) -> F.Column:
@@ -396,14 +414,21 @@ def simhash(text_col: str) -> F.Column:
     bit position accumulates +1/-1; fingerprint bit = sign. Pure SQL
     (portable to the DuckDB oracle).
 
-    Single-pass fold: Catalyst does no CSE across array-HOF lambdas, so 32
-    separate per-bit aggregates would re-tokenize + re-md5 the document 32
+    Single-pass fold: Catalyst does no CSE across array-HOF lambdas, so 64
+    separate per-bit aggregates would re-tokenize + re-md5 the document 64
     times (the round-1 MinHash lesson). Instead ONE ``aggregate`` walks the
-    token-hash array once, carrying a 32-slot vote accumulator; bit tests
-    are ``h & 2^i`` against a constant powers array."""
+    token-hash array once, carrying a 64-slot vote accumulator; bit tests
+    are ``h & 2^i`` against a constant powers array whose top entry is the
+    signed representation of 2^63 (bitwiseAND is two's-complement-exact,
+    and the final power sum never exceeds the signed range because the one
+    negative term keeps it in [-2^63, 2^63))."""
     t = F.array_distinct(tokens(F.col(text_col)))
-    th = F.transform(t, lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long"))
-    powers = F.array(*[F.lit(1 << i).cast("long") for i in range(SIMHASH_BITS)])
+    md5s = F.transform(t, lambda x: F.md5(x))
+    th = F.transform(md5s, _md5_hex16_to_long)
+    powers = F.array(
+        *[F.lit(1 << i).cast("long") for i in range(SIMHASH_BITS - 1)],
+        F.lit(-(1 << (SIMHASH_BITS - 1))).cast("long"),
+    )
     votes = F.aggregate(
         th,
         F.array_repeat(F.lit(0), SIMHASH_BITS),

@@ -37,6 +37,19 @@ from mysql_time_machine_spark.operators.multimodal import (
 SF = "/root/testdata/sf0.001"
 
 
+def py_simhash64(text):
+    """Independent python reimplementation of the engine's 64-bit SimHash
+    (signed two's-complement long, like Spark's)."""
+    toks = sorted({t for t in re.split(r"[^a-z0-9]+", text.lower()) if t})
+    hs = [int(hashlib.md5(t.encode()).hexdigest()[:16], 16) for t in toks]
+    out = 0
+    for bit in range(64):
+        votes = sum(1 if (h >> bit) & 1 else -1 for h in hs)
+        if votes > 0:
+            out += 1 << bit
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
 @pytest.fixture(scope="module")
 def docs(spark):
     return spark.read.parquet(f"{SF}/documents.parquet").cache()
@@ -122,22 +135,34 @@ def test_simhash_portable_and_near_dup(spark):
     # portability: Spark simhash == python reimplementation
     got = {r["doc_id"]: r["h"] for r in d.select("doc_id", simhash("text").alias("h")).collect()}
 
-    def py_simhash(text):
-        toks = sorted({t for t in re.split(r"[^a-z0-9]+", text.lower()) if t})
-        hs = [int(hashlib.md5(t.encode()).hexdigest()[:8], 16) for t in toks]
-        out = 0
-        for bit in range(32):
-            votes = sum(1 if (h >> bit) & 1 else -1 for h in hs)
-            if votes > 0:
-                out += 1 << bit
-        return out
-
     for r in d.collect():
-        assert got[r["doc_id"]] == py_simhash(r["text"]), r["doc_id"]
+        assert got[r["doc_id"]] == py_simhash64(r["text"]), r["doc_id"]
 
     pairs = {(r["a_id"], r["b_id"]): r["hamming"] for r in simhash_pairs(d, max_hamming=8).collect()}
     assert (1, 2) in pairs
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_64bit_survives_32bit_collision(spark):
+    """Birthday-saturation regression: these two tokens share the first 8
+    md5 hex chars (found by search over ~1.3e5 candidates — exactly the
+    collision density a ~10^5-distinct-doc corpus hits), so a 32-bit
+    SimHash makes the two single-token documents Hamming-0 "exact"
+    near-dups. The 64-bit fingerprint must keep them far apart."""
+    a, b = "tok94533", "tok129055"
+    assert hashlib.md5(a.encode()).hexdigest()[:8] == hashlib.md5(b.encode()).hexdigest()[:8]
+    assert hashlib.md5(a.encode()).hexdigest()[:16] != hashlib.md5(b.encode()).hexdigest()[:16]
+
+    d = spark.createDataFrame(
+        [Row(doc_id=1, lang="en", text=a), Row(doc_id=2, lang="en", text=b)]
+    )
+    got = {r["doc_id"]: r["h"] for r in d.select("doc_id", simhash("text").alias("h")).collect()}
+    assert got[1] == py_simhash64(a) and got[2] == py_simhash64(b)
+    assert got[1] != got[2]
+    true_hamming = bin((got[1] ^ got[2]) & ((1 << 64) - 1)).count("1")
+    assert true_hamming > 8  # far apart in 64-bit space...
+    pairs = simhash_pairs(d, max_hamming=8).collect()
+    assert pairs == []  # ...so no false near-dup pair is emitted
 
 
 def test_embedding_dup_pairs_planted(spark, emb):
@@ -413,17 +438,8 @@ def test_simhash_pairs_zipf_dup_skew(spark):
     )
     d = spark.createDataFrame(rows)
 
-    def py_simhash(text):
-        toks = sorted({t for t in re.split(r"[^a-z0-9]+", text.lower()) if t})
-        hs = [int(hashlib.md5(t.encode()).hexdigest()[:8], 16) for t in toks]
-        return sum(
-            1 << bit
-            for bit in range(32)
-            if sum(1 if (h >> bit) & 1 else -1 for h in hs) > 0
-        )
-
     max_h = 8
-    fps = [(r.doc_id, r.lang, py_simhash(r.text)) for r in rows]
+    fps = [(r.doc_id, r.lang, py_simhash64(r.text)) for r in rows]
     expected = {
         (a_id, b_id, bin(ah ^ bh).count("1"))
         for i, (a_id, al, ah) in enumerate(fps)
