@@ -491,12 +491,24 @@ def _curate_verdicts(spark, sf_dir):
 
 
 def _dedup_stream_exact(spark, sf_dir):
-    """Streaming exact dedup: file-source readStream over the corpus,
-    stateful md5-groupBy aggregate, Trigger.AvailableNow into a memory
-    sink — final state byte-equal to the batch aggregate (the oracle)."""
+    """Streaming exact dedup through the PRODUCTION sink: file-source
+    readStream over the corpus, stateful md5-groupBy aggregate in update
+    mode, foreachBatch upsert into a text_md5-bucketed Parquet store
+    (bucket-granular copy-on-write — no driver-resident result table);
+    the returned DataFrame READS THE STORE, and its final state is
+    byte-equal to the batch aggregate (the oracle)."""
+    import hashlib
+    import shutil
+    import tempfile
+
     from mysql_time_machine_spark.operators.dedup import exact_dedup_stream
 
-    return exact_dedup_stream(spark, f"{sf_dir}/documents.parquet")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    sink_dir = f"{tempfile.gettempdir()}/mtm_dedup_stream_{tag}"
+    # fresh run per driver invocation: the checkpoint would otherwise skip
+    # already-processed files and the gate would read a stale store
+    shutil.rmtree(sink_dir, ignore_errors=True)
+    return exact_dedup_stream(spark, f"{sf_dir}/documents.parquet", sink_dir=sink_dir)
 
 
 def _curate_with_neardup(spark, sf_dir):

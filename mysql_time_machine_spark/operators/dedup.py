@@ -59,6 +59,8 @@ def exact_dedup_stream(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_files_per_trigger: int = 2,
+    sink_dir: str | None = None,
+    n_buckets: int = 8,
 ) -> DataFrame:
     """Streaming exact dedup: tail ``source_path`` as a file-source stream
     (new corpus drops arrive as files), fold each micro-batch into the
@@ -66,13 +68,35 @@ def exact_dedup_stream(
     map-side-combined shape as batch ``exact_dedup``, with the running
     (canonical_id, n_copies) per distinct text held in streaming state.
     Runs with Trigger.AvailableNow (bounded backfill: process everything
-    present, in file order, then stop) into a memory sink and returns the
-    materialized final table — byte-equal to batch exact_dedup over the
-    same files (oracle invariant). On an unbounded corpus you would bound
-    state with a watermark on an ingest-time column; exact dedup
-    deliberately keeps ALL fingerprints (a dup of a year-old document is
-    still a dup), so state scales with distinct content — the same sizing
-    rule as the batch aggregate's shuffle."""
+    present, in file order, then stop); the final table is byte-equal to
+    batch exact_dedup over the same files (oracle invariant). On an
+    unbounded corpus you would bound state with a watermark on an
+    ingest-time column; exact dedup deliberately keeps ALL fingerprints (a
+    dup of a year-old document is still a dup), so state scales with
+    distinct content — the same sizing rule as the batch aggregate's
+    shuffle.
+
+    Two sink shapes:
+
+    * ``sink_dir`` given — THE PRODUCTION PATH: update-mode aggregate +
+      ``foreachBatch`` upserting (text_md5, canonical_id, n_copies) into a
+      Parquet store at ``<sink_dir>/store``, hash-bucketed on text_md5 so
+      each micro-batch rewrites only the buckets its keys touch
+      (copy-on-write at bucket granularity, the sink pattern the CDC
+      manifest sink uses). Results NEVER concentrate on the driver — each
+      update flows executor-side from the state store to the bucket files.
+      Update-mode rows carry ABSOLUTE state values (not deltas), so a
+      replayed micro-batch (crash between the sink write and the
+      checkpoint commit) rewrites the same content — idempotent. The
+      checkpoint lives under ``<sink_dir>/_checkpoint``: a later call over
+      the same dir resumes incrementally (only new files are processed).
+      ``sink_dir`` must be a shared filesystem on a real cluster.
+    * no ``sink_dir`` — test/oracle harness shape: complete-mode memory
+      sink. The result is copied out with ``localCheckpoint`` (executor
+      storage) and the driver-resident memory-sink table is DROPPED before
+      returning, so nothing stays pinned in driver memory for the session.
+      Use only where the distinct-text table is known-small.
+    """
     import os as _os
     import uuid as _uuid
 
@@ -90,16 +114,62 @@ def exact_dedup_stream(
     agg = stream.groupBy(F.md5(F.col(text_col)).alias("text_md5")).agg(
         F.min(id_col).alias("canonical_id"), F.count("*").alias("n_copies")
     )
-    name = f"dedup_stream_{_uuid.uuid4().hex[:8]}"
+
+    if sink_dir is None:
+        name = f"dedup_stream_{_uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.table(name).localCheckpoint(eager=True)
+        spark.catalog.dropTempView(name)
+        return out
+
+    store = _os.path.join(sink_dir, "store")
+
+    def _bucket_of(col):
+        return F.pmod(
+            F.conv(F.substring(col, 1, 6), 16, 10).cast("long"), F.lit(n_buckets)
+        ).cast("int")
+
+    def upsert(batch: DataFrame, _epoch_id: int) -> None:
+        batch = batch.withColumn("_bucket", _bucket_of(F.col("text_md5")))
+        batch.persist()
+        try:
+            touched = [r["_bucket"] for r in batch.select("_bucket").distinct().collect()]
+            if not touched:
+                return
+            merged = batch
+            dirs = [
+                f"{store}/_bucket={b}"
+                for b in touched
+                if _os.path.isdir(f"{store}/_bucket={b}")
+            ]
+            if dirs:
+                old = batch.sparkSession.read.option("basePath", store).parquet(*dirs)
+                kept = old.join(batch.select("text_md5"), "text_md5", "left_anti")
+                merged = kept.unionByName(batch)
+            # sever lineage from the files about to be overwritten, then
+            # replace ONLY the touched bucket partitions
+            merged.localCheckpoint(eager=True).write.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
+            ).partitionBy("_bucket").parquet(store)
+        finally:
+            batch.unpersist()
+
     q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
+        agg.writeStream.foreachBatch(upsert)
+        .outputMode("update")
+        .option("checkpointLocation", _os.path.join(sink_dir, "_checkpoint"))
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.table(name)
+    return spark.read.parquet(store).drop("_bucket")
 
 
 def fingerprint_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -645,3 +645,39 @@ def test_exact_dedup_stream_multibatch_matches_batch(spark, tmp_path):
         for r in exact_dedup_stream(spark, src, max_files_per_trigger=1).collect()
     )
     assert got == exp and len(got) == 7
+    # the memory-sink harness shape must not leave a driver-resident table
+    assert not [t.name for t in spark.catalog.listTables() if t.name.startswith("dedup_stream_")]
+
+
+def test_exact_dedup_stream_parquet_sink_incremental(spark, tmp_path):
+    """Production sink shape: update-mode foreachBatch upsert into the
+    bucketed Parquet store. Multi-batch convergence == batch aggregate; a
+    re-run over the same checkpoint is a no-op; NEW files are folded in
+    incrementally (state persists across calls); no memory-sink table."""
+    from mysql_time_machine_spark.operators.dedup import exact_dedup, exact_dedup_stream
+
+    rows = [Row(doc_id=i, text=f"text-{i % 7}") for i in range(40)]
+    src = str(tmp_path / "drops")
+    sink = str(tmp_path / "dedup_sink")
+    for part in range(3):
+        spark.createDataFrame(rows[part * 10 : (part + 1) * 10]).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def snap(df):
+        return sorted(
+            (r["text_md5"], r["canonical_id"], r["n_copies"]) for r in df.collect()
+        )
+
+    got = snap(exact_dedup_stream(spark, src, max_files_per_trigger=1, sink_dir=sink))
+    assert got == snap(exact_dedup(spark.read.parquet(src)))
+
+    # idempotent resume: nothing new to process, store unchanged
+    again = snap(exact_dedup_stream(spark, src, max_files_per_trigger=1, sink_dir=sink))
+    assert again == got
+
+    # incremental: a late drop folds into the existing store/state
+    spark.createDataFrame(rows[30:]).coalesce(1).write.mode("append").parquet(src)
+    final = snap(exact_dedup_stream(spark, src, max_files_per_trigger=1, sink_dir=sink))
+    assert final == snap(exact_dedup(spark.read.parquet(src)))
+    assert not [t.name for t in spark.catalog.listTables() if t.name.startswith("dedup_stream_")]
