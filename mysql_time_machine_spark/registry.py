@@ -145,21 +145,56 @@ class SchemaRegistry:
         return spark.createDataFrame(rows, REGISTRY_SCHEMA)
 
 
-def stamp_schema_version(events: DataFrame, registry: "SchemaRegistry") -> DataFrame:
+def stamp_schema_version(
+    events: DataFrame, registry: "SchemaRegistry", case_fold_max: int = 100
+) -> DataFrame:
     """As-of resolution of J0: stamp each event with the schema version
     valid at its position — latest version with valid_from <= gtid_seq.
 
     The registry is tiny (it IS the broadcast side of the reference's
-    schema-augmentation join), so instead of a physical join we fold it
-    into a single Catalyst CASE expression: zero shuffle, zero Python,
-    fully codegen'd — the degenerate-but-optimal form of a broadcast
-    as-of join.
+    schema-augmentation join), so up to ``case_fold_max`` versions it is
+    folded into a single Catalyst CASE expression: zero shuffle, zero
+    Python, fully codegen'd — the degenerate-but-optimal form of a
+    broadcast as-of join.
+
+    DDL-heavy histories (thousands of ALTERs) would make that expression
+    tree defeat codegen (the 64 KB JVM method limit drops the whole stage
+    to interpreted mode), so above the threshold the SAME semantics run as
+    a broadcast RANGE join: the version table becomes half-open intervals
+    [valid_from, next_valid_from) and each event left-joins the one
+    interval containing its gtid_seq. Still zero shuffle (broadcast
+    nested-loop), plan size constant in the version count, per-row cost
+    bounded by V on the tiny broadcast side. Both paths resolve a NULL
+    gtid_seq to NULL and are pairwise-equivalent by test.
     """
-    # ascending fold: each later version wraps the chain, so the HIGHEST
-    # matching version is the outermost WHEN and takes precedence
-    expr = F.lit(None).cast("int")
-    for v in registry.versions:
-        expr = F.when(
-            F.col("gtid_seq") >= F.lit(v["valid_from_gtid_seq"]), F.lit(v["schema_version"])
-        ).otherwise(expr)
-    return events.withColumn("resolved_schema_version", expr)
+    if len(registry.versions) <= case_fold_max:
+        # ascending fold: each later version wraps the chain, so the
+        # HIGHEST matching version is the outermost WHEN and takes
+        # precedence
+        expr = F.lit(None).cast("int")
+        for v in registry.versions:
+            expr = F.when(
+                F.col("gtid_seq") >= F.lit(v["valid_from_gtid_seq"]),
+                F.lit(v["schema_version"]),
+            ).otherwise(expr)
+        return events.withColumn("resolved_schema_version", expr)
+
+    # intervals in version order; a version superseded at the same gtid
+    # (two DDLs in one transaction) gets an empty interval and can never
+    # match — the CASE fold's later-wins rule, expressed as ranges
+    vs = registry.versions
+    rows = [
+        (
+            int(v["schema_version"]),
+            int(v["valid_from_gtid_seq"]),
+            int(vs[i + 1]["valid_from_gtid_seq"]) if i + 1 < len(vs) else None,
+        )
+        for i, v in enumerate(vs)
+    ]
+    vdf = events.sparkSession.createDataFrame(
+        rows, "resolved_schema_version int, _vf long, _nvf long"
+    )
+    cond = (F.col("gtid_seq") >= F.col("_vf")) & (
+        F.col("_nvf").isNull() | (F.col("gtid_seq") < F.col("_nvf"))
+    )
+    return events.join(F.broadcast(vdf), cond, "left").drop("_vf", "_nvf")

