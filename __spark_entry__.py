@@ -445,6 +445,18 @@ def _sim_kmeans_assign(spark, sf_dir):
     return assign_centroids(emb, nlist=8, centroids=cents).select("vec_id", "centroid_id")
 
 
+def _sim_kmeanspp_assign(spark, sf_dir):
+    """Assignment under the deterministic k-means++-style seeds
+    (farthest-first traversal: md5-ordered first pick, then argmax
+    distance to the chosen set). No RNG and no transcendental sampling
+    math, so the unrolled DuckDB twin reproduces the seeds bit-for-bit."""
+    from mysql_time_machine_spark.operators.ann import assign_centroids, seed_centroids_pp
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = seed_centroids_pp(emb, nlist=8)
+    return assign_centroids(emb, nlist=8, centroids=cents).select("vec_id", "centroid_id")
+
+
 def _text_langid(spark, sf_dir):
     from mysql_time_machine_spark.functions.text import lang_id
 
@@ -573,6 +585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_batch": _sim_topk_batch,
         "sim_ivf_topk_clustered": _sim_ivf_topk_clustered,
         "sim_kmeans_assign": _sim_kmeans_assign,
+        "sim_kmeanspp_assign": _sim_kmeanspp_assign,
         "text_langid": _text_langid,
         "text_quality": _text_quality,
         "text_token_count": _text_token_count,
@@ -691,6 +704,37 @@ def oracle_sql() -> dict[str, str]:
             f" / (sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))"
             f" * sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE)))))"
         )
+
+    # unrolled farthest-first (k-means++-style) seeding: center 0 is the
+    # md5-ordered pick; center k is the point with the LOWEST max-cosine to
+    # centers 0..k-1 (ties -> lowest vec_id). Exact twin of
+    # ann.seed_centroids_pp — every value is an exact function of the data.
+    def _sql_kmeanspp(nlist: int) -> str:
+        ctes = [
+            "c0 AS (SELECT 0 AS cid, embedding AS cv FROM embeddings"
+            " ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 1)",
+            "cents1 AS (SELECT * FROM c0)",
+        ]
+        for k in range(1, nlist):
+            ctes.append(
+                f"""c{k} AS (
+                SELECT {k} AS cid, emb AS cv FROM (
+                    SELECT e.vec_id, any_value(e.embedding) AS emb,
+                           max({_cos("e.embedding", "c.cv")}) AS mc
+                    FROM embeddings e CROSS JOIN cents{k} c
+                    GROUP BY e.vec_id ORDER BY mc, e.vec_id LIMIT 1))"""
+            )
+            ctes.append(
+                f"cents{k + 1} AS (SELECT * FROM cents{k} UNION ALL SELECT * FROM c{k})"
+            )
+        return f"""
+            WITH {", ".join(ctes)}
+            SELECT vec_id, cid AS centroid_id FROM (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY {_cos("e.embedding", "c.cv")} DESC, c.cid) AS rn
+                FROM embeddings e CROSS JOIN cents{nlist} c) WHERE rn = 1
+        """
 
     shingles = _sql_shingles()
     jaccard = (
@@ -1029,6 +1073,7 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC, c.cid) AS rn
                 FROM embeddings e CROSS JOIN c2 c) WHERE rn = 1
         """,
+        "sim_kmeanspp_assign": _sql_kmeanspp(8),
         "text_langid": f"SELECT doc_id, {_sql_langid()} AS lang_guess FROM documents",
         "text_quality": f"""
             SELECT doc_id,

@@ -102,10 +102,57 @@ def seed_centroids(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Deterministic seed centroids: the first nlist vectors by id. The
-    cheapest reproducible choice — refine with ``kmeans_centroids``."""
+    cheapest reproducible choice — refine with ``kmeans_centroids``, or
+    seed better with ``seed_centroids_pp``."""
     return embeddings.where(F.col(id_col) < nlist).select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec")
     )
+
+
+def seed_centroids_pp(
+    embeddings: DataFrame,
+    nlist: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic k-means++-style seeding (farthest-first traversal,
+    Gonzalez 1985 — the maximin rule k-means++ randomizes): center 0 is
+    the md5-ordered pick (a reproducible pseudo-random draw, so a
+    pathological id ordering can't choose it), and each next center is the
+    point FARTHEST from the chosen set (argmin of max-cosine, ties to the
+    lowest id). Unlike first-nlist-ids seeding this cannot collapse into
+    one region when the low ids happen to be neighbors.
+
+    Fully deterministic AND oracle-expressible: every quantity is an exact
+    function of the data (no RNG, no ln/exp whose last-ulp could diverge
+    across engines), so the unrolled SQL twin reproduces the seeds
+    bit-for-bit. Cost: nlist narrow passes (broadcast centers + map-side
+    partial max + TakeOrdered(1)) — a one-time index-build step; at
+    extreme nlist use k-means||-style oversampling instead. Centroid ids
+    are the pick order 0..nlist-1."""
+    spark = embeddings.sparkSession
+    first = (
+        embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
+        .limit(1)
+        .head()
+    )
+    chosen = [(0, [float(x) for x in first["_v"]])]
+    for k in range(1, nlist):
+        cdf = spark.createDataFrame(chosen, "centroid_id int, centroid_vec array<float>")
+        nxt = (
+            embeddings.crossJoin(F.broadcast(cdf))
+            .groupBy(id_col)
+            .agg(
+                F.any_value(vec_col).alias("_v"),
+                F.max(cosine(F.col(vec_col), F.col("centroid_vec"))).alias("_mc"),
+            )
+            .orderBy(F.asc("_mc"), F.asc(id_col))
+            .limit(1)
+            .head()
+        )
+        chosen.append((k, [float(x) for x in nxt["_v"]]))
+    return spark.createDataFrame(chosen, "centroid_id int, centroid_vec array<float>")
 
 
 def kmeans_centroids(
@@ -114,6 +161,7 @@ def kmeans_centroids(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Deterministic Lloyd iterations, all DataFrame ops: assign every
     vector to its nearest centroid (broadcast cross-join + map-side-combined
@@ -125,9 +173,10 @@ def kmeans_centroids(
     pytest (determinism + assignment-quality vs the seed centroids). The
     driver loop is ``iters`` Spark jobs; the per-iteration centroid set
     (nlist rows) is collected to cut lineage, the data-sized work stays
-    distributed. Empty clusters keep their previous centroid."""
+    distributed. Empty clusters keep their previous centroid. Pass
+    ``seeds=seed_centroids_pp(...)`` for spread-out deterministic seeding."""
     spark = embeddings.sparkSession
-    cents = seed_centroids(embeddings, nlist, id_col, vec_col)
+    cents = seeds if seeds is not None else seed_centroids(embeddings, nlist, id_col, vec_col)
     for _ in range(iters):
         assigned = _assign(embeddings, cents, id_col, vec_col)
         means = (

@@ -175,6 +175,42 @@ def test_embedding_dup_pairs_planted(spark, emb):
 # -- ANN ----------------------------------------------------------------------
 
 
+def test_seed_centroids_pp_deterministic_beats_first_nlist(spark):
+    """Farthest-first seeding must (a) be bit-deterministic across calls
+    and (b) beat first-nlist seeding when the low ids happen to be
+    neighbors — here ids 0..7 all sit in ONE of four well-separated
+    clusters, the pathological ordering first-nlist cannot escape."""
+    from mysql_time_machine_spark.operators.ann import seed_centroids, seed_centroids_pp
+    from mysql_time_machine_spark.functions.similarity import cosine
+
+    axes = [(1.0, 0.0, 0.0, 0.0), (0.0, 1.0, 0.0, 0.0),
+            (0.0, 0.0, 1.0, 0.0), (0.0, 0.0, 0.0, 1.0)]
+
+    def jitter(base, i):
+        return [float(b + 0.01 * ((i * 7 + j) % 5)) for j, b in enumerate(base)]
+
+    rows = [(i, jitter(axes[0], i)) for i in range(8)]  # low ids: one cluster
+    rows += [(8 + i, jitter(axes[(i % 4)], i)) for i in range(40)]
+    emb4 = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    pp1 = sorted(map(tuple, seed_centroids_pp(emb4, nlist=4).collect()))
+    pp2 = sorted(map(tuple, seed_centroids_pp(emb4, nlist=4).collect()))
+    assert [(c, list(v)) for c, v in pp1] == [(c, list(v)) for c, v in pp2]
+
+    def quality(cents):
+        return (
+            emb4.crossJoin(F.broadcast(cents))
+            .groupBy("vec_id")
+            .agg(F.max(cosine("embedding", "centroid_vec")).alias("mc"))
+            .agg(F.avg("mc"))
+            .head()[0]
+        )
+
+    q_pp = quality(seed_centroids_pp(emb4, nlist=4))
+    q_first = quality(seed_centroids(emb4, nlist=4))
+    assert q_pp > q_first + 0.1  # spread seeds cover all four clusters
+
+
 def test_brute_force_topk_self_first(spark, emb):
     q = emb.where(F.col("vec_id") == 7).head()["embedding"]
     top = brute_force_topk(emb, list(q), k=5).collect()
