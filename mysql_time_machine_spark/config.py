@@ -67,8 +67,15 @@ class EngineConfig:
 
     def resolved_collapse_impl(self, regime: str) -> str:
         """'auto' -> the measured best kernel for the regime
-        ('streaming' -> sorted, 'batch' -> sql); explicit settings win."""
+        ('streaming' -> sorted, 'batch' -> sql); explicit settings win.
+        Unknown names raise (a typo like 'sortd' must not silently fall
+        through a dispatch chain to the slowest kernel)."""
         if self.collapse_impl != "auto":
+            if self.collapse_impl not in ("sql", "sorted", "pandas"):
+                raise ValueError(
+                    f"unknown collapse_impl {self.collapse_impl!r}; "
+                    "expected 'auto', 'sql', 'sorted', or 'pandas'"
+                )
             return self.collapse_impl
         return "sorted" if regime == "streaming" else "sql"
     #: wire format of the binlog event files: 'parquet' (default, columnar)

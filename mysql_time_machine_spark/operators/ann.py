@@ -294,7 +294,13 @@ def write_clustered(
     as any Spark write); there is deliberately no driver-local default."""
     cents = centroids if centroids is not None else seed_centroids(embeddings, nlist, id_col, vec_col)
     assigned = assign_centroids(embeddings, nlist, id_col, vec_col, centroids=cents)
-    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    # STATIC overwrite regardless of session config: dynamic mode replaces
+    # only the partitions present in the data, so re-clustering with a
+    # smaller nlist would leave stale centroid_id=... directories that the
+    # probe could then scan against the new _centroids table
+    assigned.write.mode("overwrite").option(
+        "partitionOverwriteMode", "static"
+    ).partitionBy("centroid_id").parquet(path)
     cents.coalesce(1).write.mode("overwrite").parquet(f"{path}/_centroids")
 
 

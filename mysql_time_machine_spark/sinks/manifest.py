@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import uuid
 from typing import Any
 
@@ -105,6 +106,22 @@ class ManifestParquetSink(Sink):
             f.write(os.path.basename(path))
         os.replace(ptr_tmp, os.path.join(self.root, _CURRENT))
 
+    # -- manifest format migration -------------------------------------------
+    @staticmethod
+    def _changelog_by_day(raw) -> dict[str, list[str]]:
+        """``changelog_files`` as the day -> files map. Rounds before the
+        day-partitioned layout stored a flat file LIST; migrate it by
+        recovering each file's day from its ``day_utc=...`` path segment
+        (files written by the old flat layout without one park under
+        'unknown' — still readable, just not day-prunable)."""
+        if isinstance(raw, dict):
+            return {k: list(v) for k, v in raw.items()}
+        out: dict[str, list[str]] = {}
+        for f in raw or []:
+            m = re.search(r"day_utc=([^/]+)/", f)
+            out.setdefault(m.group(1) if m else "unknown", []).append(f)
+        return out
+
     # -- reads ---------------------------------------------------------------
     def _schema(self, manifest: dict[str, Any]) -> T.StructType:
         base = target_struct([tuple(c) for c in manifest["business_columns"]])
@@ -162,7 +179,7 @@ class ManifestParquetSink(Sink):
         day's files — the partition-pruning contract Iceberg's days(ts)
         hidden partitioning gives the jar-backed sink."""
         m = self.current_manifest()
-        by_day: dict[str, list[str]] = m.get("changelog_files", {})
+        by_day = self._changelog_by_day(m.get("changelog_files", {}))
         days = [day] if day is not None else sorted(by_day)
         schema = (
             "repo string, path string, op string, gtid_seq long, log_file string, "
@@ -186,7 +203,7 @@ class ManifestParquetSink(Sink):
     def changelog_files_for(self, day: str | None = None) -> list[str]:
         """The file list a ``read_changelog(day)`` scan touches — exposed so
         tests (and operators) can assert day-level file pruning."""
-        by_day = self.current_manifest().get("changelog_files", {})
+        by_day = self._changelog_by_day(self.current_manifest().get("changelog_files", {}))
         if day is not None:
             return list(by_day.get(day, []))
         return [f for fl in by_day.values() for f in fl]
@@ -340,9 +357,9 @@ class ManifestParquetSink(Sink):
             merged = merged.drop("_bucket").withColumn("_bucket", salted_shuffle_key(self.n_buckets))
             merged.write.mode("overwrite").partitionBy("_bucket").parquet(out_dir)
 
-            changelog_files: dict[str, list[str]] = {
-                k: list(v) for k, v in m.get("changelog_files", {}).items()
-            }
+            changelog_files: dict[str, list[str]] = self._changelog_by_day(
+                m.get("changelog_files", {})
+            )
             if changelog is not None:
                 # partitioned by UTC day — the Iceberg days(ts) analogue; the
                 # manifest's day -> files map is what lets read_changelog

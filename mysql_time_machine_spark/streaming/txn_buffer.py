@@ -49,6 +49,17 @@ Mechanics:
 * event-time timeouts fire only when new data advances the watermark, so
   an ``availableNow`` query terminates normally (a processing-time
   timeout would schedule empty wake-up batches forever).
+
+CHECKPOINT COMPATIBILITY: ``STATE_SCHEMA`` changed in round 3 from
+``events_json STRING`` (row-at-a-time JSON) to the Arrow-chunk form
+``chunks array<binary>, last_ts_ns bigint``. Spark's state-store schema
+check rejects a checkpoint written by the old format — a job restarted
+from a pre-round-3 checkpoint fails fast at query start (it cannot
+silently misread old state). Operationally: drain the stream with the old
+binary first (every transaction COMMITted -> state empty), or start the
+new binary with a FRESH checkpoint dir and replay from the last committed
+epoch — the sink's fence makes the replay idempotent. Bump
+``STATE_FORMAT_VERSION`` whenever ``STATE_SCHEMA`` changes again.
 """
 
 from __future__ import annotations
@@ -65,7 +76,10 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from mysql_time_machine_spark.schema import EVENT_SCHEMA
 
 #: state: buffered row-event fragments as Arrow IPC chunks (one per
-#: micro-batch that touched the transaction) + max buffered event time
+#: micro-batch that touched the transaction) + max buffered event time.
+#: Bump STATE_FORMAT_VERSION on any change — existing checkpoints are
+#: incompatible (see module docstring).
+STATE_FORMAT_VERSION = 2
 STATE_SCHEMA = "chunks array<binary>, last_ts_ns bigint"
 
 _MAP_COLS = ("before", "after")

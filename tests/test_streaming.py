@@ -263,6 +263,82 @@ def test_changelog_day_partition_prunes_files(spark, tmp_path):
     assert sorted(both["day_utc"]) == ["20240101", "20240102"]
 
 
+def test_changelog_manifest_legacy_list_migrated(spark, tmp_path):
+    """A sink root written before the day-partitioned changelog layout
+    stored changelog_files as a flat LIST. Opening it must not break:
+    merge() migrates the list into the day map (day recovered from the
+    day_utc=... path segment) and read_changelog still returns every
+    legacy row alongside new ones."""
+    import datetime as dt
+    import json
+    import os
+
+    from pyspark.sql import Row
+
+    from mysql_time_machine_spark.operators.reassemble import COLLAPSED_SCHEMA
+    from mysql_time_machine_spark.sinks.manifest import ManifestParquetSink
+
+    root = str(tmp_path / "sink_legacy")
+    sink = ManifestParquetSink(spark, root, n_buckets=4)
+    cl_schema = (
+        "repo string, path string, op string, gtid_seq long, log_file string, "
+        "log_pos long, ts timestamp, schema_version int, day_utc string"
+    )
+
+    def batch(gtid):
+        return spark.createDataFrame(
+            [Row(repo="o", path=f"k{gtid}", row_status="I",
+                 image={"commit": "c", "lang": "py", "content": "x"}, full_image=True,
+                 gtid_seq=gtid, schema_version=1, updated_ts=dt.datetime(2024, 1, 1))],
+            COLLAPSED_SCHEMA,
+        )
+
+    def changelog(gtid, day):
+        return spark.createDataFrame(
+            [("o", f"k{gtid}", "I", gtid, "binlog.000001", gtid,
+              dt.datetime(2024, 1, 1), 1, day)],
+            cl_schema,
+        )
+
+    assert sink.merge(batch(10), epoch_id=1, changelog=changelog(10, "20240101"))
+
+    # forge the pre-migration manifest shape: flatten the day map to a list
+    cur = os.path.join(root, "_current")
+    with open(cur) as f:
+        name = f.read().strip()
+    mpath = os.path.join(root, "manifests", name)
+    with open(mpath) as f:
+        m = json.load(f)
+    assert isinstance(m["changelog_files"], dict)
+    m["changelog_files"] = [f_ for fl in m["changelog_files"].values() for f_ in fl]
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+
+    # a fresh sink over the legacy root: reads work and recover the day
+    sink2 = ManifestParquetSink(spark, root, n_buckets=4)
+    assert sink2.changelog_files_for("20240101") == sink2.changelog_files_for()
+    legacy = sink2.read_changelog().toPandas()
+    assert list(legacy["day_utc"]) == ["20240101"] and list(legacy["gtid_seq"]) == [10]
+
+    # and a new epoch merges on top without touching the legacy entries
+    assert sink2.merge(batch(20), epoch_id=2, changelog=changelog(20, "20240102"))
+    both = sink2.read_changelog().toPandas()
+    assert sorted(both["day_utc"]) == ["20240101", "20240102"]
+    assert len(sink2.changelog_files_for("20240101")) > 0
+
+
+def test_unknown_collapse_impl_rejected():
+    """A typo'd kernel name must raise, not silently dispatch to the
+    slowest kernel."""
+    import pytest as _pytest
+
+    cfg = EngineConfig(collapse_impl="sortd")
+    with _pytest.raises(ValueError, match="sortd"):
+        cfg.resolved_collapse_impl("streaming")
+    assert EngineConfig(collapse_impl="sorted").resolved_collapse_impl("streaming") == "sorted"
+    assert EngineConfig().resolved_collapse_impl("batch") == "sql"
+
+
 def test_dry_run_writes_nothing(spark, binlog_dir, tmp_path_factory):
     root = str(tmp_path_factory.mktemp("sink_dry"))
     cfg = EngineConfig(max_files_per_trigger=1, shuffle_partitions=8, dry_run=True)

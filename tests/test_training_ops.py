@@ -211,6 +211,29 @@ def test_seed_centroids_pp_deterministic_beats_first_nlist(spark):
     assert q_pp > q_first + 0.1  # spread seeds cover all four clusters
 
 
+def test_write_clustered_no_stale_cells_under_dynamic_overwrite(spark, emb, tmp_path):
+    """Re-clustering with a smaller nlist must fully replace the layout
+    even when the session runs dynamic partition overwrite (which would
+    otherwise keep the old centroid_id=... dirs for cells the new write
+    doesn't produce — stale data the probe could scan)."""
+    import os
+
+    from mysql_time_machine_spark.operators.ann import write_clustered
+
+    path = str(tmp_path / "clustered")
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        write_clustered(emb, path, nlist=8)
+        assert len([d for d in os.listdir(path) if d.startswith("centroid_id=")]) == 8
+        write_clustered(emb, path, nlist=4)
+        cells = sorted(d for d in os.listdir(path) if d.startswith("centroid_id="))
+        assert len(cells) == 4  # no stale cells from the nlist=8 run
+        assert spark.read.parquet(f"{path}/_centroids").count() == 4
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+
+
 def test_brute_force_topk_self_first(spark, emb):
     q = emb.where(F.col("vec_id") == 7).head()["embedding"]
     top = brute_force_topk(emb, list(q), k=5).collect()
