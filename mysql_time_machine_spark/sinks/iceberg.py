@@ -130,6 +130,48 @@ def changelog_replay_statements(table: str, epoch_id: int) -> list[str]:
     return [f"DELETE FROM {table}_changelog WHERE epoch_id = {epoch_id}"]
 
 
+def fence_read_statement(fence_table: str, job_id: str) -> str:
+    """The fence probe every epoch starts with (``last_epoch``)."""
+    return f"SELECT max(epoch_id) AS e FROM {fence_table} WHERE job_id = '{job_id}'"
+
+
+def epoch_statement_plan(
+    table: str,
+    fence_table: str,
+    job_id: str,
+    epoch_id: int,
+    business_columns: list[tuple[str, str]],
+    new_columns: list[tuple[str, str]] = (),
+    with_changelog: bool = True,
+    crash_before_fence: bool = False,
+) -> list[str]:
+    """The exact ORDERED statement list one epoch drives through the sink —
+    the dry-run / audit form of ``IcebergSink.evolve_schema`` + ``merge``:
+
+      fence read -> ALTER per genuinely-new column -> TBLPROPERTIES
+      (rich-type memory, re-set idempotently even when no column is new)
+      -> MERGE -> changelog DELETE (epoch-scoped) + append -> fence append
+
+    The two DataFrame ``writeTo`` appends are not SQL; they appear as
+    ``APPEND <table>`` markers so the commit ORDER — fence strictly last —
+    is part of the pinned contract. With ``crash_before_fence`` the plan
+    stops after the changelog append: exactly the statements a crashed
+    epoch leaves behind, whose replay must be idempotent (the fence row is
+    absent, so the epoch re-runs; the MERGE's per-key gtid guard and the
+    epoch-scoped changelog DELETE absorb the half-applied work)."""
+    stmts = [fence_read_statement(fence_table, job_id)]
+    for name, typ in new_columns:
+        stmts.append(add_column_statement(table, name, typ))
+    stmts.append(column_props_statement(table, business_columns))
+    stmts.append(merge_statement(table, business_columns))
+    if with_changelog:
+        stmts.extend(changelog_replay_statements(table, epoch_id))
+        stmts.append(f"APPEND {table}_changelog")
+    if not crash_before_fence:
+        stmts.append(f"APPEND {fence_table}")
+    return stmts
+
+
 class IcebergSink(Sink):
     """MERGE-INTO applier with epoch fencing via a `_fence` table."""
 

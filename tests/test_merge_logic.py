@@ -141,6 +141,69 @@ def test_iceberg_statement_text():
     assert '["dur", "time2"]' in props
 
 
+def test_iceberg_resume_protocol_two_epochs_with_alter():
+    """The FULL ordered SQL a crash-resume scenario drives through the
+    jar-gated sink, pinned jarless: epoch 1 on a fresh catalog; epoch 2
+    carries a mid-stream ALTER (ADD COLUMN stars BIGINT) and crashes after
+    the changelog append but BEFORE the fence append; the restarted job
+    replays epoch 2. The replay must (a) re-bootstrap with IF NOT EXISTS
+    only, (b) see last_epoch = 1 from the fence probe, (c) NOT re-issue
+    the ALTER (the column survived the crash) while still re-pinning the
+    rich-type TBLPROPERTIES, (d) DELETE the crashed epoch's changelog rows
+    before re-appending, and (e) append the fence row strictly last."""
+    from mysql_time_machine_spark.sinks.iceberg import (
+        bootstrap_statements,
+        epoch_statement_plan,
+    )
+
+    T, FT, J = "lake.repos", "lake.repos_fence", "job1"
+    V2 = COLS + [("stars", "long")]
+    fence_probe = f"SELECT max(epoch_id) AS e FROM {FT} WHERE job_id = '{J}'"
+
+    trace = (
+        bootstrap_statements(T, FT)
+        + epoch_statement_plan(T, FT, J, 1, COLS)
+        + epoch_statement_plan(T, FT, J, 2, V2, new_columns=[("stars", "long")],
+                               crash_before_fence=True)
+        # ---- crash; restart ----
+        + bootstrap_statements(T, FT)
+        + epoch_statement_plan(T, FT, J, 2, V2)  # column exists: no ALTER
+    )
+
+    # bootstrap is replay-safe: every CREATE is IF NOT EXISTS
+    creates = [s for s in trace if s.startswith("CREATE")]
+    assert len(creates) == 4 and all("IF NOT EXISTS" in s for s in creates)
+
+    # the ALTER happens exactly once, in the pre-crash epoch 2, after that
+    # epoch's fence probe and before its MERGE
+    alters = [i for i, s in enumerate(trace) if s.startswith("ALTER TABLE lake.repos ADD")]
+    assert len(alters) == 1
+    assert trace[alters[0]] == "ALTER TABLE lake.repos ADD COLUMN stars BIGINT"
+    probe_2 = [i for i, s in enumerate(trace) if s == fence_probe][1]
+    merge_2 = [i for i, s in enumerate(trace) if s.startswith("MERGE INTO")][1]
+    assert probe_2 < alters[0] < merge_2
+
+    # rich-type props re-pinned on EVERY epoch incl. the replay (a cold
+    # restart that merges before any DDL must still decode time2/latin1)
+    assert sum(s.startswith("ALTER TABLE lake.repos SET TBLPROPERTIES") for s in trace) == 3
+
+    # the crashed epoch left changelog rows; the replay deletes THEM first
+    delete_2 = [i for i, s in enumerate(trace)
+                if s == "DELETE FROM lake.repos_changelog WHERE epoch_id = 2"]
+    cl_appends = [i for i, s in enumerate(trace) if s == "APPEND lake.repos_changelog"]
+    assert len(delete_2) == 2  # pre-crash run and replay
+    assert delete_2[1] < cl_appends[-1]
+
+    # fences: epoch 1 committed, crashed epoch 2 has NO fence append, the
+    # replay's fence append is the FINAL statement of the whole trace
+    fence_appends = [i for i, s in enumerate(trace) if s == f"APPEND {FT}"]
+    assert len(fence_appends) == 2
+    assert fence_appends[-1] == len(trace) - 1
+    # the post-crash replay MERGE (v2 columns) includes the evolved column
+    replay_merge = [s for s in trace if s.startswith("MERGE INTO")][-1]
+    assert "stars" in replay_merge and "b.gtid_seq >= t.gtid_seq" in replay_merge
+
+
 def test_kafka_updated_ts_is_utc_regardless_of_session_tz(spark):
     """The wire record's updated_ts hard-codes a 'Z' suffix — the rendered
     wall-clock must really be UTC even when the session timezone is not."""
