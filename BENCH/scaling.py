@@ -33,7 +33,7 @@ AMPLIFY = int(os.environ.get("SPARK_GRAFT_AMPLIFY", "300"))
 LEVELS = tuple(int(x) for x in os.environ.get("SPARK_GRAFT_LEVELS", "8,32").split(","))
 #: identical physical plan at both levels: same shuffle partitioning, same
 #: bucket count — ONLY the executor-thread count differs
-PARTITIONS = 256
+PARTITIONS = int(os.environ.get("SPARK_GRAFT_PARTITIONS", "256"))
 
 
 def child(cpus: int, events_dir: str) -> None:
