@@ -1,0 +1,179 @@
+"""Two-parallelism scaling evidence for the STREAMING apply path —
+including the v2 transaction buffer (applyInPandasWithState + Arrow state
+codec), which BENCH/scaling.py's batch-replay job never exercises.
+
+Protocol mirrors scaling.py: the SAME binlog directory replayed through
+ApplyJob at local[N] and local[4N] (default pair A: 2,8 — the better
+multi-node proxy on one socket), fresh JVM per run, identical shuffle
+partitioning and bucket count at both levels, interleaved rounds,
+per-level best-of. Two legs per level:
+
+* plain    — txn-atomic epoch files, buffer OFF (the v1 path)
+* buffered — BEGIN/COMMIT-marked multi-row transactions, files cut on
+  gtid boundaries so transactions straddle micro-batches, buffer ON
+
+Writes BENCH/STREAM_SCALING_r4.md with throughput at both levels, the
+N->4N efficiency per leg, and the buffered/plain overhead ratio.
+
+Usage:
+    python BENCH/stream_scaling.py                      # orchestrate
+    python BENCH/stream_scaling.py --child N DIR 0|1    # one run (internal)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+AMPLIFY = int(os.environ.get("SPARK_GRAFT_AMPLIFY", "30"))
+LEVELS = tuple(int(x) for x in os.environ.get("SPARK_GRAFT_LEVELS", "2,8").split(","))
+ROUNDS = int(os.environ.get("SPARK_GRAFT_ROUNDS", "2"))
+#: identical physical plan at both levels
+PARTITIONS = 64
+
+
+def child(cpus: int, binlog_dir: str, buffered: bool) -> None:
+    from pyspark.sql import functions as F
+
+    from mysql_time_machine_spark.config import EngineConfig
+    from mysql_time_machine_spark.session import get_spark
+    from mysql_time_machine_spark.sinks.manifest import ManifestParquetSink
+    from mysql_time_machine_spark.streaming.job import ApplyJob
+
+    spark = get_spark(
+        f"mtm-stream-scaling-{cpus}", master=f"local[{cpus}]", shuffle_partitions=PARTITIONS
+    )
+    n = (
+        spark.read.parquet(binlog_dir)
+        .where(F.col("op").isin("I", "U", "D"))
+        .count()
+    )  # warms the input listing too
+
+    tmp = tempfile.mkdtemp(prefix=f"mtm_ss_{cpus}_")
+    cfg = EngineConfig(
+        shuffle_partitions=PARTITIONS,
+        max_files_per_trigger=8,
+        write_changelog=False,
+        buffer_transactions=buffered,
+    )
+    sink = ManifestParquetSink(spark, os.path.join(tmp, "sink"), n_buckets=PARTITIONS)
+    t0 = time.time()
+    ApplyJob(
+        spark, binlog_dir, sink, cfg, checkpoint_dir=os.path.join(tmp, "ckpt")
+    ).run_available(timeout_sec=3000)
+    wall = time.time() - t0
+    final_rows = sink.read().count()
+    print(
+        json.dumps(
+            {
+                "cpus": cpus,
+                "buffered": buffered,
+                "row_events": n,
+                "wall_sec": round(wall, 2),
+                "events_per_sec": round(n / wall, 1),
+                "final_rows": final_rows,
+            }
+        )
+    )
+    spark.stop()
+
+
+def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--child":
+        child(int(sys.argv[2]), sys.argv[3], sys.argv[4] == "1")
+        return 0
+
+    from bench import _write_binlog_files, amplified_events, with_txn_markers
+    from mysql_time_machine_spark.session import get_spark
+    from pyspark.sql import functions as F
+
+    tmp = tempfile.mkdtemp(prefix="mtm_stream_scaling_")
+    spark = get_spark("mtm-stream-scaling-gen", master="local[32]")
+    ev = amplified_events(spark, SF_DIR, AMPLIFY)
+    n_ep = 4
+    _write_binlog_files(
+        spark, ev, tmp, os.path.join(tmp, "binlog"), n_ep, F.pmod(F.col("txn_id"), n_ep)
+    )
+    ev_marked = with_txn_markers(ev, txn_width=10)
+    bounds = ev.approxQuantile("gtid_seq", [i / n_ep for i in range(1, n_ep)], 0.001)
+    file_of = F.lit(0)
+    for b in bounds:
+        file_of = file_of + (F.col("gtid_seq") > F.lit(b)).cast("int")
+    _write_binlog_files(
+        spark, ev_marked, tmp, os.path.join(tmp, "binlog_buffered"), n_ep, file_of
+    )
+    spark.stop()
+    print(f"binlog dirs under {tmp}")
+
+    best: dict[tuple, dict] = {}
+    for _ in range(ROUNDS):
+        for cpus in LEVELS:
+            for leg, sub in (("plain", "binlog"), ("buffered", "binlog_buffered")):
+                env = dict(
+                    os.environ,
+                    SPARK_DRIVER_MEMORY=os.environ.get("SPARK_DRIVER_MEMORY", "32g"),
+                )
+                out = subprocess.run(
+                    [
+                        sys.executable, os.path.abspath(__file__), "--child",
+                        str(cpus), os.path.join(tmp, sub), "1" if leg == "buffered" else "0",
+                    ],
+                    capture_output=True, text=True, cwd=REPO, timeout=3600, env=env,
+                )
+                line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+                r = json.loads(line)
+                print(line)
+                key = (leg, cpus)
+                if key not in best or r["wall_sec"] < best[key]["wall_sec"]:
+                    best[key] = r
+
+    rows_match = best[("plain", LEVELS[0])]["final_rows"] == best[("buffered", LEVELS[0])]["final_rows"]
+    lines = [
+        "# BENCH/STREAM_SCALING_r4.md — streaming apply scaling (incl. txn buffer)",
+        "",
+        f"Input: sql-mode log over {SF_DIR}, amplify x{AMPLIFY} =",
+        f"{best[('plain', LEVELS[0])]['row_events']:,} row events, replayed through",
+        f"ApplyJob (AvailableNow, {PARTITIONS} shuffle partitions/buckets at BOTH",
+        f"levels, fresh JVM per run, {ROUNDS} interleaved rounds, per-cell best).",
+        "The buffered leg streams BEGIN/COMMIT-marked multi-row transactions whose",
+        "epoch files are cut on gtid boundaries, so transactions straddle",
+        "micro-batches and every row passes through applyInPandasWithState with",
+        "the Arrow-IPC state codec.",
+        "",
+        "| leg | local[{}] (N) | ev/s | local[{}] (4N) | ev/s | eff N->4N |".format(*LEVELS),
+        "|---|---|---|---|---|---|",
+    ]
+    for leg in ("plain", "buffered"):
+        a, b = best[(leg, LEVELS[0])], best[(leg, LEVELS[1])]
+        eff = (b["events_per_sec"] / a["events_per_sec"]) / (LEVELS[1] / LEVELS[0])
+        lines.append(
+            f"| {leg} | {a['wall_sec']}s | {a['events_per_sec']:,} "
+            f"| {b['wall_sec']}s | {b['events_per_sec']:,} | {eff:.2f} |"
+        )
+    ovh = (
+        best[("buffered", LEVELS[1])]["wall_sec"] / best[("plain", LEVELS[1])]["wall_sec"]
+    )
+    lines += [
+        "",
+        f"Buffered/plain wall overhead at local[{LEVELS[1]}]: {ovh:.2f}x "
+        f"(buffer input additionally carries ~20% marker events).",
+        f"Final-table parity across legs: {'YES' if rows_match else 'NO'} "
+        "(identical row counts — the buffer releases exactly the committed transactions).",
+    ]
+    md = "\n".join(lines) + "\n"
+    with open(os.path.join(REPO, "BENCH", "STREAM_SCALING_r4.md"), "w") as f:
+        f.write(md)
+    print(md)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -539,7 +539,9 @@ def simhash_pairs(
     """Near-dup pairs where hamming(simhash_a, simhash_b) <= max_hamming.
 
     Stage 0 — REPRESENTATIVE COLLAPSE: web corpora are dup-dense (at sf0.1,
-    2,051 of 5,000 docs share ONE fingerprint), and banding raw doc rows
+    249 of 5,000 docs share ONE 64-bit fingerprint — and under the old
+    32-bit space vote-collapse inflated that group to 2,051), and banding
+    raw doc rows
     gives any identical-fingerprint group of n docs a C(n,2) candidate
     floor — a skewed self-join hotspot at 100 TB. So banding runs over the
     DISTINCT (block, fingerprint) groups only: candidate volume is

@@ -30,9 +30,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # map_concat(old_image, new_cells) must be last-writer-wins
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+        # 100k (was 10k): BENCH/SORTED_PAIRB_r4.md — at 32 concurrent
+        # Python workers, 10k-row batches multiply per-batch fixed costs
+        # (socket round trip, frame construction) into a reproducible 2.4x
+        # penalty on the streaming mapInPandas kernel; at 100k a typical
+        # task is a single batch and the overhead vanishes
         .config(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
-            os.environ.get("SPARK_GRAFT_ARROW_BATCH", "10000"),
+            os.environ.get("SPARK_GRAFT_ARROW_BATCH", "100000"),
         )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
