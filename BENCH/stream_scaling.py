@@ -36,6 +36,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 AMPLIFY = int(os.environ.get("SPARK_GRAFT_AMPLIFY", "30"))
 LEVELS = tuple(int(x) for x in os.environ.get("SPARK_GRAFT_LEVELS", "2,8").split(","))
 ROUNDS = int(os.environ.get("SPARK_GRAFT_ROUNDS", "2"))
+#: rows per marked transaction in the buffered leg. The buffer's cost is
+#: per-TRANSACTION (one stateful Python group call per txn per touching
+#: micro-batch), so buffered throughput in events/sec scales roughly with
+#: txn size — report width alongside the numbers.
+TXN_WIDTH = int(os.environ.get("SPARK_GRAFT_TXN_WIDTH", "10"))
 #: identical physical plan at both levels
 PARTITIONS = 64
 
@@ -66,9 +71,11 @@ def child(cpus: int, binlog_dir: str, buffered: bool) -> None:
     )
     sink = ManifestParquetSink(spark, os.path.join(tmp, "sink"), n_buckets=PARTITIONS)
     t0 = time.time()
+    # generous bound: a hit timeout would silently truncate the stream and
+    # poison the measurement with a fast-but-wrong wall
     ApplyJob(
         spark, binlog_dir, sink, cfg, checkpoint_dir=os.path.join(tmp, "ckpt")
-    ).run_available(timeout_sec=3000)
+    ).run_available(timeout_sec=3500)
     wall = time.time() - t0
     final_rows = sink.read().count()
     print(
@@ -102,7 +109,7 @@ def main() -> int:
     _write_binlog_files(
         spark, ev, tmp, os.path.join(tmp, "binlog"), n_ep, F.pmod(F.col("txn_id"), n_ep)
     )
-    ev_marked = with_txn_markers(ev, txn_width=10)
+    ev_marked = with_txn_markers(ev, txn_width=TXN_WIDTH)
     bounds = ev.approxQuantile("gtid_seq", [i / n_ep for i in range(1, n_ep)], 0.001)
     file_of = F.lit(0)
     for b in bounds:
@@ -143,10 +150,12 @@ def main() -> int:
         f"{best[('plain', LEVELS[0])]['row_events']:,} row events, replayed through",
         f"ApplyJob (AvailableNow, {PARTITIONS} shuffle partitions/buckets at BOTH",
         f"levels, fresh JVM per run, {ROUNDS} interleaved rounds, per-cell best).",
-        "The buffered leg streams BEGIN/COMMIT-marked multi-row transactions whose",
-        "epoch files are cut on gtid boundaries, so transactions straddle",
-        "micro-batches and every row passes through applyInPandasWithState with",
-        "the Arrow-IPC state codec.",
+        "The buffered leg streams BEGIN/COMMIT-marked transactions of",
+        f"{TXN_WIDTH} rows whose epoch files are cut on gtid boundaries, so",
+        "transactions straddle micro-batches and every row passes through",
+        "applyInPandasWithState with the Arrow-IPC state codec. The buffer's",
+        "cost is per-TRANSACTION (one stateful group call per txn per touching",
+        "micro-batch), so buffered events/sec scales with transaction size.",
         "",
         "| leg | local[{}] (N) | ev/s | local[{}] (4N) | ev/s | eff N->4N |".format(*LEVELS),
         "|---|---|---|---|---|---|",
