@@ -156,8 +156,10 @@ def main():
     # buffered leg: BEGIN/COMMIT-marked multi-row txns, files cut on gtid
     # buckets so transactions straddle micro-batch boundaries — the
     # cross-batch uuidBuffer (applyInPandasWithState + Arrow state codec)
-    # is on the measured path
-    ev_marked = with_txn_markers(ev, txn_width=10)
+    # is on the measured path. Width 50 matches the scaling evidence
+    # (BENCH/STREAM_SCALING_r4.md): buffer cost is per-transaction, so the
+    # leg measures the state-op path, not an arbitrary marker density.
+    ev_marked = with_txn_markers(ev, txn_width=50)
     qs_bounds = ev.approxQuantile("gtid_seq", [i / n_ep for i in range(1, n_ep)], 0.001)
     file_of = F.lit(0)
     for b in qs_bounds:
@@ -291,13 +293,20 @@ def main():
     # the distinct-fingerprint count is what the banding is now quadratic in
     extra["simhash_distinct_fingerprints"] = base.select("h").distinct().count()
 
-    total = round(sum(timings.values()), 3)
+    # headline value keeps the round-2/3 suite composition so the trend
+    # line stays comparable; the NEW buffered leg (a strictly additional
+    # workload: the same events replayed again through the stateful txn
+    # buffer) is reported per-query + as its own extras, not in the sum
+    total = round(
+        sum(v for k, v in timings.items() if k != "cdc_stream_apply_buffered"), 3
+    )
     print(
         json.dumps(
             {
                 "metric": "end-to-end CDC apply + operator suite wall time",
                 "value": total,
                 "unit": "sec",
+                "value_excludes": ["cdc_stream_apply_buffered"],
                 "queries": timings,
                 "trials": trials,
                 "trial_policy": f"best-of-{TRIALS}, interleaved (trial loop outermost)",

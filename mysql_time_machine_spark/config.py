@@ -84,10 +84,10 @@ class EngineConfig:
     #: v2 cross-batch transaction reassembly (applyInPandasWithState keyed
     #: by txn_id): set when the binlog files may split transactions; with
     #: txn-atomic files (MySQL rotation semantics) the buffer is unnecessary.
-    #: Measured cost (BENCH/STREAM_SCALING_r4.md): per-TRANSACTION Python
-    #: group-call overhead (~470 txns/s/core), so wall overhead vs the
-    #: unbuffered path shrinks with transaction size (4.7x at 50-row txns);
-    #: scaling N->4N is 0.79 — the overhead parallelizes cleanly
+    #: Measured cost (BENCH/STREAM_SCALING_r4.md): per-TRANSACTION stateful
+    #: group overhead (~450 txns/s at 8 cores, ~56/core), so wall overhead
+    #: vs the unbuffered path shrinks with transaction size (4.7x at 50-row
+    #: txns); scaling N->4N is 0.79 — the overhead parallelizes cleanly
     buffer_transactions: bool = False
     #: event-time bound after which a BEGIN-without-COMMIT transaction's
     #: buffered state is evicted (the clear-on-rotate analogue,
