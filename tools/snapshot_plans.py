@@ -16,7 +16,7 @@ sys.path.insert(0, REPO)
 
 SF = "/root/testdata/sf0.001"
 
-HEADER = """# BENCH/PLANS.md — physical plans of the flagship paths (round 3)
+HEADER = """# BENCH/PLANS.md — physical plans of the flagship paths (round 4)
 
 `df.explain()` snapshots, captured at sf0.001 (plan shape is
 scale-independent; AQE re-plans at runtime). What to look for:
@@ -36,8 +36,9 @@ scale-independent; AQE re-plans at runtime). What to look for:
   joins on (chunk_idx, chunk_value, lang) with the leftmost-match +
   hamming filters folded into the join; ngram_jaccard_pairs hash-joins on
   (exploded length bucket, lang). No CartesianProduct / no
-  BroadcastNestedLoopJoin except the deliberate tiny-side centroid
-  cross-join.
+  BroadcastNestedLoopJoin except two deliberate tiny-broadcast-side
+  cases: the centroid cross-join and the registry range-join fallback
+  (DDL-heavy histories, where a CASE fold would defeat codegen).
 - **Top-k is TakeOrderedAndProject**, not a global sort.
 - applyInPandas appears as `FlatMapGroupsInPandas` fed by a single
   Exchange on the salted bucket — one shuffle for the whole replay; the
@@ -50,7 +51,10 @@ def cap(title: str, df) -> str:
     buf = io.StringIO()
     with redirect_stdout(buf):
         df.explain()
-    return f"\n```\n=== {title} ===\n{buf.getvalue().rstrip()}\n```\n"
+    # the hot-key path's \x00 key separator shows up verbatim in explain
+    # output; escape it so the file stays plain text
+    text = buf.getvalue().rstrip().replace("\x00", "\\x00")
+    return f"\n```\n=== {title} ===\n{text}\n```\n"
 
 
 def main() -> int:
@@ -113,6 +117,18 @@ def main() -> int:
     ))
     out.append(cap("embedding_dup_pairs_ivf (centroid-cell blocked self-join)",
                    embedding_dup_pairs_ivf(emb, threshold=0.4, nlist=8)))
+    from mysql_time_machine_spark.registry import SchemaRegistry, stamp_schema_version
+
+    big_reg = SchemaRegistry(versions=[
+        {"schema_version": i + 1, "valid_from_gtid_seq": i * 10, "ddl": None,
+         "columns": [list(c) for c in BASE_COLUMNS]}
+        for i in range(500)
+    ])
+    out.append(cap(
+        "stamp_schema_version, 500-version fallback (broadcast range join — "
+        "constant plan size; <=100 versions stays a codegen'd CASE fold)",
+        stamp_schema_version(ev.select("gtid_seq"), big_reg),
+    ))
     # minhash runs eagerly (stages + unpersists); snapshot the staged read's
     # provenance note instead of forcing a full run at snapshot time
     out.append(
