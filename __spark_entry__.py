@@ -515,8 +515,13 @@ def _dedup_stream_exact(spark, sf_dir):
 
     from mysql_time_machine_spark.operators.dedup import exact_dedup_stream
 
+    import os
+
+    # pid in the tag: a concurrent driver over the same sf_dir must not
+    # rmtree a live sibling's store/checkpoint; same-process re-runs still
+    # reuse (and reset) one deterministic dir — no tempdir accumulation
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    sink_dir = f"{tempfile.gettempdir()}/mtm_dedup_stream_{tag}"
+    sink_dir = f"{tempfile.gettempdir()}/mtm_dedup_stream_{tag}_{os.getpid()}"
     # fresh run per driver invocation: the checkpoint would otherwise skip
     # already-processed files and the gate would read a stale store
     shutil.rmtree(sink_dir, ignore_errors=True)

@@ -185,13 +185,15 @@ def main():
             write_changelog=False,
             buffer_transactions=buffered,
         )
+        # generous bound: run_available's default 600s would silently
+        # truncate a load-spiked buffered trial and poison the measurement
         ApplyJob(
             spark,
             os.path.join(tmp, binlog_name),
             sink,
             cfg,
             checkpoint_dir=os.path.join(tmp, f"ckpt_{binlog_name}_t{trial}"),
-        ).run_available()
+        ).run_available(timeout_sec=3500)
         return sink_dir
 
     qs = entry_mod.queries()

@@ -154,10 +154,16 @@ def exact_dedup_stream(
                 kept = old.join(batch.select("text_md5"), "text_md5", "left_anti")
                 merged = kept.unionByName(batch)
             # sever lineage from the files about to be overwritten, then
-            # replace ONLY the touched bucket partitions
-            merged.localCheckpoint(eager=True).write.mode("overwrite").option(
-                "partitionOverwriteMode", "dynamic"
-            ).partitionBy("_bucket").parquet(store)
+            # replace ONLY the touched bucket partitions; release the
+            # checkpoint blocks immediately (a long backfill would
+            # otherwise pin one store snapshot per micro-batch until GC)
+            snap = merged.localCheckpoint(eager=True)
+            try:
+                snap.write.mode("overwrite").option(
+                    "partitionOverwriteMode", "dynamic"
+                ).partitionBy("_bucket").parquet(store)
+            finally:
+                snap.unpersist()
         finally:
             batch.unpersist()
 
@@ -169,6 +175,13 @@ def exact_dedup_stream(
         .start()
     )
     q.awaitTermination()
+    if not _os.path.isdir(store):
+        # zero-data source: no batch ever ran, so the store was never
+        # created — return the (empty) result shape, matching the
+        # memory-sink path's behavior on the same input
+        return spark.createDataFrame(
+            [], "text_md5 string, canonical_id long, n_copies long"
+        )
     return spark.read.parquet(store).drop("_bucket")
 
 

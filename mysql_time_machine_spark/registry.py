@@ -179,16 +179,22 @@ def stamp_schema_version(
             ).otherwise(expr)
         return events.withColumn("resolved_schema_version", expr)
 
-    # intervals in version order; a version superseded at the same gtid
-    # (two DDLs in one transaction) gets an empty interval and can never
-    # match — the CASE fold's later-wins rule, expressed as ranges
+    # CASE-fold semantics as intervals: version i wins gtid g iff
+    # vf_i <= g AND g < min(vf_j for every LATER list entry j) — the
+    # SUFFIX minimum, not just the next entry, so the intervals are
+    # disjoint (at most one match per event: no row duplication) even if
+    # the version list is not ascending in valid_from. A version
+    # superseded at the same gtid (two DDLs in one transaction) gets an
+    # empty interval and can never match — the later-wins rule.
     vs = registry.versions
+    suffix_min: list[int | None] = [None] * len(vs)
+    running: int | None = None
+    for i in range(len(vs) - 1, 0, -1):
+        vf = int(vs[i]["valid_from_gtid_seq"])
+        running = vf if running is None else min(running, vf)
+        suffix_min[i - 1] = running
     rows = [
-        (
-            int(v["schema_version"]),
-            int(v["valid_from_gtid_seq"]),
-            int(vs[i + 1]["valid_from_gtid_seq"]) if i + 1 < len(vs) else None,
-        )
+        (int(v["schema_version"]), int(v["valid_from_gtid_seq"]), suffix_min[i])
         for i, v in enumerate(vs)
     ]
     vdf = events.sparkSession.createDataFrame(

@@ -145,12 +145,20 @@ def epoch_statement_plan(
     with_changelog: bool = True,
     crash_before_fence: bool = False,
 ) -> list[str]:
-    """The exact ORDERED statement list one epoch drives through the sink —
-    the dry-run / audit form of ``IcebergSink.evolve_schema`` + ``merge``:
+    """The exact ORDERED statement list one epoch drives through the sink,
+    mirroring the real driving path (``ApplyJob.process_batch`` calls
+    ``evolve_schema`` BEFORE ``merge``, and the fence probe lives inside
+    ``merge``):
 
-      fence read -> ALTER per genuinely-new column -> TBLPROPERTIES
-      (rich-type memory, re-set idempotently even when no column is new)
-      -> MERGE -> changelog DELETE (epoch-scoped) + append -> fence append
+      ALTER per genuinely-new column -> TBLPROPERTIES (rich-type memory,
+      re-set idempotently even when no column is new) -> fence read ->
+      MERGE -> changelog DELETE (epoch-scoped) + append -> fence append
+
+    Note the consequence the order encodes: schema evolution is applied
+    even for an epoch the fence would skip — DDL replay is idempotent
+    (ADD COLUMN guarded by existence, properties are a pure re-set), so a
+    fenced replay may re-issue the props statement but never a second
+    ALTER.
 
     The two DataFrame ``writeTo`` appends are not SQL; they appear as
     ``APPEND <table>`` markers so the commit ORDER — fence strictly last —
@@ -159,10 +167,11 @@ def epoch_statement_plan(
     epoch leaves behind, whose replay must be idempotent (the fence row is
     absent, so the epoch re-runs; the MERGE's per-key gtid guard and the
     epoch-scoped changelog DELETE absorb the half-applied work)."""
-    stmts = [fence_read_statement(fence_table, job_id)]
+    stmts = []
     for name, typ in new_columns:
         stmts.append(add_column_statement(table, name, typ))
     stmts.append(column_props_statement(table, business_columns))
+    stmts.append(fence_read_statement(fence_table, job_id))
     stmts.append(merge_statement(table, business_columns))
     if with_changelog:
         stmts.extend(changelog_replay_statements(table, epoch_id))
@@ -189,9 +198,9 @@ class IcebergSink(Sink):
             spark.sql(stmt)
 
     def last_epoch(self) -> int:
-        row = self.spark.sql(
-            f"SELECT max(epoch_id) AS e FROM {self.fence_table} WHERE job_id = '{self.job_id}'"
-        ).head()
+        # the ONE canonical probe statement — the same builder the audit
+        # plan and statement tests pin, so they cannot drift apart
+        row = self.spark.sql(fence_read_statement(self.fence_table, self.job_id)).head()
         return -1 if row["e"] is None else row["e"]
 
     def evolve_schema(self, business_columns: list[tuple[str, str]], registry: list[dict] | None = None) -> None:

@@ -54,6 +54,16 @@ class ApplyJob:
         self.sink = sink
         self.cfg = cfg or EngineConfig()
         self.checkpoint_dir = checkpoint_dir or os.path.join(sink.root, "_checkpoint")
+        if self.cfg.buffer_transactions:
+            # key the checkpoint by the txn-buffer STATE format version: a
+            # binary with a bumped version starts a FRESH checkpoint
+            # instead of silently resuming incompatible state (offsets
+            # replay from the start; the sink fence makes that idempotent)
+            from mysql_time_machine_spark.streaming.txn_buffer import STATE_FORMAT_VERSION
+
+            self.checkpoint_dir = os.path.join(
+                self.checkpoint_dir, f"txn_state_v{STATE_FORMAT_VERSION}"
+            )
         # active schema reloaded from the last committed manifest — schema
         # history survives crashes with the data it describes
         self.registry = SchemaRegistry.from_manifest(sink.current_manifest().get("registry", []))

@@ -55,11 +55,13 @@ CHECKPOINT COMPATIBILITY: ``STATE_SCHEMA`` changed in round 3 from
 ``chunks array<binary>, last_ts_ns bigint``. Spark's state-store schema
 check rejects a checkpoint written by the old format — a job restarted
 from a pre-round-3 checkpoint fails fast at query start (it cannot
-silently misread old state). Operationally: drain the stream with the old
-binary first (every transaction COMMITted -> state empty), or start the
-new binary with a FRESH checkpoint dir and replay from the last committed
-epoch — the sink's fence makes the replay idempotent. Bump
-``STATE_FORMAT_VERSION`` whenever ``STATE_SCHEMA`` changes again.
+silently misread old state). ``STATE_FORMAT_VERSION`` is ENFORCED by
+``ApplyJob``: buffered jobs checkpoint under
+``<checkpoint>/txn_state_v{N}``, so a binary with a bumped version starts
+a fresh checkpoint automatically instead of reusing incompatible state —
+offsets replay from the start of the binlog dir and the sink's epoch
+fence absorbs the replay. Bump the constant whenever ``STATE_SCHEMA``
+changes again.
 """
 
 from __future__ import annotations

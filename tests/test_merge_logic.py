@@ -147,10 +147,12 @@ def test_iceberg_resume_protocol_two_epochs_with_alter():
     carries a mid-stream ALTER (ADD COLUMN stars BIGINT) and crashes after
     the changelog append but BEFORE the fence append; the restarted job
     replays epoch 2. The replay must (a) re-bootstrap with IF NOT EXISTS
-    only, (b) see last_epoch = 1 from the fence probe, (c) NOT re-issue
-    the ALTER (the column survived the crash) while still re-pinning the
-    rich-type TBLPROPERTIES, (d) DELETE the crashed epoch's changelog rows
-    before re-appending, and (e) append the fence row strictly last."""
+    only, (b) apply schema evolution BEFORE the fence probe (the real
+    driving order: ApplyJob calls evolve_schema, then merge() probes the
+    fence) but NOT re-issue the ALTER (the column survived the crash)
+    while still re-pinning the rich-type TBLPROPERTIES, (c) DELETE the
+    crashed epoch's changelog rows before re-appending, and (d) append
+    the fence row strictly last."""
     from mysql_time_machine_spark.sinks.iceberg import (
         bootstrap_statements,
         epoch_statement_plan,
@@ -174,14 +176,15 @@ def test_iceberg_resume_protocol_two_epochs_with_alter():
     creates = [s for s in trace if s.startswith("CREATE")]
     assert len(creates) == 4 and all("IF NOT EXISTS" in s for s in creates)
 
-    # the ALTER happens exactly once, in the pre-crash epoch 2, after that
-    # epoch's fence probe and before its MERGE
+    # the ALTER happens exactly once, in the pre-crash epoch 2, BEFORE
+    # that epoch's fence probe (evolve_schema runs first on the real
+    # driving path) and before its MERGE
     alters = [i for i, s in enumerate(trace) if s.startswith("ALTER TABLE lake.repos ADD")]
     assert len(alters) == 1
     assert trace[alters[0]] == "ALTER TABLE lake.repos ADD COLUMN stars BIGINT"
     probe_2 = [i for i, s in enumerate(trace) if s == fence_probe][1]
     merge_2 = [i for i, s in enumerate(trace) if s.startswith("MERGE INTO")][1]
-    assert probe_2 < alters[0] < merge_2
+    assert alters[0] < probe_2 < merge_2
 
     # rich-type props re-pinned on EVERY epoch incl. the replay (a cold
     # restart that merges before any DDL must still decode time2/latin1)

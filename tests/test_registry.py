@@ -60,22 +60,33 @@ def test_stamp_schema_version_range_join_fallback(spark):
     from mysql_time_machine_spark.schema import BASE_COLUMNS
 
     n_versions = 500
+
+    def vf_of(i):
+        if i in (2, 3):  # two DDLs share gtid 3000: later version wins there
+            return 3000
+        if i == 480:  # OUT-OF-ORDER entry: a later list position with a
+            return 475_500  # lower gtid — must neither win outside its
+            # (suffix-min-bounded) range nor duplicate rows
+        return i * 1000
+
     versions = [
         {
             "schema_version": i + 1,
-            # two DDLs share gtid 3000: the later version must win there
-            "valid_from_gtid_seq": 3000 if i in (2, 3) else i * 1000,
+            "valid_from_gtid_seq": vf_of(i),
             "ddl": None if i == 0 else f"ALTER TABLE repos ADD COLUMN c{i} varchar",
             "columns": [list(c) for c in BASE_COLUMNS],
         }
         for i in range(n_versions)
     ]
     r = SchemaRegistry(versions=versions)
-    gtids = [None, 0, 999, 1000, 2999, 3000, 3001, 250_500, 499_000, 10_000_000]
+    gtids = [None, 0, 999, 1000, 2999, 3000, 3001, 250_500,
+             475_200, 476_000, 499_000, 10_000_000]
     df = spark.createDataFrame([(g,) for g in gtids], "gtid_seq long")
 
     ranged = stamp_schema_version(df, r)  # 500 > default threshold
-    got_r = {x["gtid_seq"]: x["resolved_schema_version"] for x in ranged.collect()}
+    rows = ranged.collect()
+    assert len(rows) == len(gtids)  # overlap-free intervals: no row dup
+    got_r = {x["gtid_seq"]: x["resolved_schema_version"] for x in rows}
 
     # the CASE fold CANNOT run at this depth (a 500-deep nested CASE
     # overflows Catalyst's analysis stack — precisely why the fallback

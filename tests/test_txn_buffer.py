@@ -154,4 +154,9 @@ def test_abandoned_txn_state_evicted(spark, tmp_path_factory, timeout, state_row
     final = {r["path"]: r for r in sink.read().collect()}
     assert final["k0"]["content"] == "base"  # dangling update never applied
     assert final["k1"]["content"] == "b1v2"  # later txns unaffected
-    assert spark.read.format("statestore").load(ckpt).count() == state_rows
+    # buffered checkpoints are keyed by the state-format version (ApplyJob
+    # appends txn_state_v{N} so a format bump never resumes old state)
+    from mysql_time_machine_spark.streaming.txn_buffer import STATE_FORMAT_VERSION
+
+    versioned = os.path.join(ckpt, f"txn_state_v{STATE_FORMAT_VERSION}")
+    assert spark.read.format("statestore").load(versioned).count() == state_rows
