@@ -146,10 +146,23 @@ class ManifestParquetSink(Sink):
         """Read the table as of a binlog position: the latest committed
         snapshot whose max applied gtid_seq <= the bound — the
         `TIMESTAMP AS OF` analogue keyed on the stream's own clock."""
-        best = 0
-        for m in self.snapshots():
+        chain = self.snapshots()
+        best = None
+        for m in chain:
             if m["max_gtid_seq"] <= gtid_seq:
                 best = m["snapshot_id"]
+        if best is None:
+            # a bound before any data legitimately reads the INITIAL empty
+            # snapshot — but only while it is retained; after expiration,
+            # "before retained history" must fail loudly, not return an
+            # arbitrary later state
+            if chain[0]["epoch_id"] == -1:
+                best = chain[0]["snapshot_id"]
+            else:
+                raise ValueError(
+                    f"no retained snapshot at-or-before gtid {gtid_seq} "
+                    "(history expired — see expire_snapshots)"
+                )
         return self.read(snapshot_id=best)
 
     def snapshot_as_of_timestamp(self, epoch_sec: float) -> DataFrame:
@@ -157,10 +170,19 @@ class ManifestParquetSink(Sink):
         latest snapshot committed at-or-before the bound (every manifest
         records its commit time). Complements snapshot_as_of_gtid, which
         keys on the stream's own clock."""
-        best = 0
-        for m in self.snapshots():
+        chain = self.snapshots()
+        best = None
+        for m in chain:
             if m.get("committed_at", 0) <= epoch_sec:
                 best = m["snapshot_id"]
+        if best is None:
+            if chain[0]["epoch_id"] == -1:  # initial empty state retained
+                best = chain[0]["snapshot_id"]
+            else:
+                raise ValueError(
+                    f"no retained snapshot committed at-or-before {epoch_sec} "
+                    "(history expired — see expire_snapshots)"
+                )
         return self.read(snapshot_id=best)
 
     def snapshots(self) -> list[dict[str, Any]]:
@@ -226,6 +248,87 @@ class ManifestParquetSink(Sink):
         if not rows:
             return self.spark.createDataFrame([], "snapshot_id long, epoch_id long, max_gtid_seq long")
         return self.spark.createDataFrame(rows)
+
+    # -- maintenance ---------------------------------------------------------
+    def expire_snapshots(self, keep_last: int) -> dict[str, int]:
+        """Iceberg ``expire_snapshots`` analogue: keep the newest
+        ``keep_last`` snapshots (the current one always survives), delete
+        every DATA file referenced only by expired snapshots, and drop the
+        expired manifests. Metadata-only for retained snapshots — their
+        reads (including time travel) are byte-identical before and after.
+
+        The subtlety this must honor: bucket-granular copy-on-write means
+        untouched buckets carry files BY REFERENCE across snapshots, so a
+        file's owner is not the snapshot that wrote it — deletion is
+        strictly "referenced by NO retained snapshot". The oldest retained
+        manifest is rewritten with ``parent = None`` (atomic tmp+replace)
+        so the history chain stays walkable. Changelog files are governed
+        by ``expire_changelog`` (day-keyed retention), not snapshot count.
+
+        Time travel to an expired snapshot id raises FileNotFoundError at
+        ``manifest_at``; ``snapshot_as_of_gtid`` / ``_timestamp`` resolve
+        over the retained chain only and raise ValueError when the bound
+        predates retained history (reading "before history" must fail
+        loudly, not return an arbitrary state)."""
+        chain = self.snapshots()  # oldest .. newest
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        retained, expired = chain[-keep_last:], chain[:-keep_last]
+        if not expired:
+            return {"expired_snapshots": 0, "deleted_files": 0}
+
+        def data_files(m):
+            return {f for fl in m["buckets"].values() for f in fl}
+
+        keep_files = set().union(*(data_files(m) for m in retained))
+        drop_files = set().union(*(data_files(m) for m in expired)) - keep_files
+        for f in sorted(drop_files):
+            if os.path.exists(f):
+                os.remove(f)
+        # sever the chain at the oldest retained snapshot, then drop the
+        # expired manifests
+        oldest = dict(retained[0])
+        oldest["parent"] = None
+        path = self._manifest_path(oldest["snapshot_id"])
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(oldest, f)
+        os.replace(tmp, path)
+        for m in expired:
+            p = self._manifest_path(m["snapshot_id"])
+            if os.path.exists(p):
+                os.remove(p)
+        return {"expired_snapshots": len(expired), "deleted_files": len(drop_files)}
+
+    def expire_changelog(self, older_than_day: str) -> dict[str, int]:
+        """Day-keyed changelog retention (the daily-changes tables are the
+        grow-forever surface): delete the files of every UTC day strictly
+        before ``older_than_day`` ('yyyymmdd') and commit a maintenance
+        snapshot whose day->files map no longer references them. The
+        maintenance commit does NOT advance ``epoch_id`` — the fence is a
+        data-progress marker, and a retention pass must not mask a
+        replayed epoch."""
+        m = self.current_manifest()
+        by_day = self._changelog_by_day(m.get("changelog_files", {}))
+        dropped = {d: fl for d, fl in by_day.items() if d < older_than_day}
+        if not dropped:
+            return {"expired_days": 0, "deleted_files": 0}
+        n_files = 0
+        for fl in dropped.values():
+            for f in fl:
+                if os.path.exists(f):
+                    os.remove(f)
+                n_files += 1
+        self._commit_manifest(
+            {
+                **{k: m[k] for k in ("epoch_id", "max_gtid_seq", "business_columns", "buckets", "lineage", "registry")},
+                "snapshot_id": m["snapshot_id"] + 1,
+                "parent": m["snapshot_id"],
+                "changelog_files": {d: fl for d, fl in by_day.items() if d >= older_than_day},
+                "maintenance": f"expire_changelog(<{older_than_day})",
+            }
+        )
+        return {"expired_days": len(dropped), "deleted_files": n_files}
 
     # -- schema evolution ----------------------------------------------------
     def evolve_schema(self, business_columns: list[tuple[str, str]], registry: list[dict] | None = None) -> None:

@@ -327,6 +327,125 @@ def test_changelog_manifest_legacy_list_migrated(spark, tmp_path):
     assert len(sink2.changelog_files_for("20240101")) > 0
 
 
+def test_expire_snapshots_keeps_carried_files(spark, tmp_path):
+    """Snapshot expiration must delete ONLY files referenced by no
+    retained snapshot: bucket-granular CoW carries untouched buckets by
+    reference, so a file written in epoch 1 but still referenced by the
+    current snapshot has to survive expiring epoch 1's snapshot. Current
+    reads are byte-identical; expired time travel fails loudly."""
+    import datetime as dt
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from mysql_time_machine_spark.operators.reassemble import COLLAPSED_SCHEMA
+    from mysql_time_machine_spark.sinks.manifest import ManifestParquetSink
+
+    sink = ManifestParquetSink(spark, str(tmp_path / "sink_exp"), n_buckets=4)
+
+    def batch(path, gtid):
+        return spark.createDataFrame(
+            [Row(repo="o", path=path, row_status="I",
+                 image={"commit": "c", "lang": "py", "content": f"x{gtid}"},
+                 full_image=True, gtid_seq=gtid, schema_version=1,
+                 updated_ts=dt.datetime(2024, 1, 1))],
+            COLLAPSED_SCHEMA,
+        )
+
+    # epoch 1 writes key kA; epochs 2-3 touch OTHER keys, so kA's bucket
+    # file from snapshot 1 is carried by reference into snapshot 3
+    keys = ["kA", "zq1", "zq2"]  # distinct buckets not required; CoW works either way
+    for epoch, k in enumerate(keys, start=1):
+        assert sink.merge(batch(k, epoch * 10), epoch_id=epoch)
+
+    before = {(r["path"], r["content"]) for r in sink.read().collect()}
+    all_files_before = {
+        f for m in sink.snapshots() for fl in m["buckets"].values() for f in fl
+    }
+
+    stats = sink.expire_snapshots(keep_last=2)
+    assert stats["expired_snapshots"] == 2  # snapshots 0 (empty) and 1
+
+    # current read identical; retained history walkable; chain severed
+    assert {(r["path"], r["content"]) for r in sink.read().collect()} == before
+    chain = sink.snapshots()
+    assert [m["snapshot_id"] for m in chain] == [2, 3]
+    assert chain[0]["parent"] is None
+
+    # every file the current snapshot references still exists (incl. the
+    # carried epoch-1 file); files referenced only by expired snapshots
+    # are gone from disk
+    cur_files = {f for fl in sink.current_manifest()["buckets"].values() for f in fl}
+    # the carry case is real: kA hashes to its own bucket, untouched by
+    # epochs 2-3, so the CURRENT snapshot references a file physically
+    # written under the EXPIRED snapshot 1's data dir — it must survive
+    assert any(f"{os.sep}s000001{os.sep}" in f for f in cur_files)
+    assert all(os.path.exists(f) for f in cur_files)
+    retained_files = {
+        f for m in chain for fl in m["buckets"].values() for f in fl
+    }
+    for f in all_files_before - retained_files:
+        assert not os.path.exists(f)
+
+    # expired time travel fails loudly, retained still works
+    with _pytest.raises(FileNotFoundError):
+        sink.snapshot_as_of(1)
+    with _pytest.raises(ValueError, match="expired"):
+        sink.snapshot_as_of_gtid(5)  # bound predates retained history
+    assert sink.snapshot_as_of(2).count() == 2
+
+
+def test_expire_changelog_day_retention(spark, tmp_path):
+    """Day-keyed changelog retention: files of days before the cutoff are
+    deleted and de-referenced in a maintenance commit that must NOT
+    advance the epoch fence."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import Row
+
+    from mysql_time_machine_spark.operators.reassemble import COLLAPSED_SCHEMA
+    from mysql_time_machine_spark.sinks.manifest import ManifestParquetSink
+
+    sink = ManifestParquetSink(spark, str(tmp_path / "sink_clexp"), n_buckets=4)
+    cl_schema = (
+        "repo string, path string, op string, gtid_seq long, log_file string, "
+        "log_pos long, ts timestamp, schema_version int, day_utc string"
+    )
+    for epoch, (gtid, day) in enumerate([(10, "20240101"), (20, "20240102")], start=1):
+        b = spark.createDataFrame(
+            [Row(repo="o", path=f"k{gtid}", row_status="I",
+                 image={"commit": "c", "lang": "py", "content": "x"}, full_image=True,
+                 gtid_seq=gtid, schema_version=1, updated_ts=dt.datetime(2024, 1, 1))],
+            COLLAPSED_SCHEMA,
+        )
+        cl = spark.createDataFrame(
+            [("o", f"k{gtid}", "I", gtid, "binlog.000001", gtid,
+              dt.datetime(2024, 1, epoch), 1, day)],
+            cl_schema,
+        )
+        assert sink.merge(b, epoch_id=epoch, changelog=cl)
+
+    old_files = sink.changelog_files_for("20240101")
+    assert old_files
+    epoch_before = sink.current_manifest()["epoch_id"]
+
+    stats = sink.expire_changelog(older_than_day="20240102")
+    assert stats == {"expired_days": 1, "deleted_files": len(old_files)}
+    assert all(not os.path.exists(f) for f in old_files)
+    assert sink.changelog_files_for("20240101") == []
+    kept = sink.read_changelog().toPandas()
+    assert list(kept["day_utc"]) == ["20240102"]
+    # maintenance commit: new snapshot, SAME fence position
+    m = sink.current_manifest()
+    assert m["epoch_id"] == epoch_before and m["maintenance"].startswith("expire_changelog")
+    # idempotent / no-op second pass
+    assert sink.expire_changelog(older_than_day="20240102") == {
+        "expired_days": 0, "deleted_files": 0,
+    }
+
+
 def test_unknown_collapse_impl_rejected():
     """A typo'd kernel name must raise, not silently dispatch to the
     slowest kernel."""
