@@ -135,6 +135,29 @@ def fence_read_statement(fence_table: str, job_id: str) -> str:
     return f"SELECT max(epoch_id) AS e FROM {fence_table} WHERE job_id = '{job_id}'"
 
 
+def maintenance_statements(
+    table: str, catalog: str = "spark_catalog", retain_last: int = 7,
+    changelog_older_than_day: str | None = None,
+) -> list[str]:
+    """Retention maintenance for the jar-backed sink — the Iceberg-native
+    twin of ``ManifestParquetSink.expire_snapshots`` /
+    ``expire_changelog``: the snapshot-expiry procedure (Iceberg deletes
+    only files unreferenced by retained snapshots, the same rule the
+    manifest sink implements by hand), orphan-file cleanup, and an
+    optional day-bounded changelog DELETE (cheap on the days(ts)-
+    partitioned changelog: partition-level deletes)."""
+    stmts = [
+        f"CALL {catalog}.system.expire_snapshots(table => '{table}', retain_last => {retain_last})",
+        f"CALL {catalog}.system.remove_orphan_files(table => '{table}')",
+    ]
+    if changelog_older_than_day is not None:
+        d = changelog_older_than_day
+        stmts.append(
+            f"DELETE FROM {table}_changelog WHERE day_utc < '{d}'"
+        )
+    return stmts
+
+
 def epoch_statement_plan(
     table: str,
     fence_table: str,

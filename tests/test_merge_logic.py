@@ -141,6 +141,22 @@ def test_iceberg_statement_text():
     assert '["dur", "time2"]' in props
 
 
+def test_iceberg_maintenance_statement_text():
+    """Retention on the jar-backed sink, pinned jarless — the Iceberg
+    twin of the manifest sink's expire_snapshots/expire_changelog."""
+    from mysql_time_machine_spark.sinks.iceberg import maintenance_statements
+
+    got = maintenance_statements(
+        "lake.repos", retain_last=5, changelog_older_than_day="20240101"
+    )
+    assert got == [
+        "CALL spark_catalog.system.expire_snapshots(table => 'lake.repos', retain_last => 5)",
+        "CALL spark_catalog.system.remove_orphan_files(table => 'lake.repos')",
+        "DELETE FROM lake.repos_changelog WHERE day_utc < '20240101'",
+    ]
+    assert len(maintenance_statements("lake.repos")) == 2  # no changelog bound
+
+
 def test_iceberg_resume_protocol_two_epochs_with_alter():
     """The FULL ordered SQL a crash-resume scenario drives through the
     jar-gated sink, pinned jarless: epoch 1 on a fresh catalog; epoch 2
