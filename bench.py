@@ -106,11 +106,17 @@ def with_txn_markers(ev, txn_width: int = 10):
 
 def _write_binlog_files(spark, ev, tmp, binlog_dir, n_ep, split_col):
     """n_ep epoch files, written sequentially (mtime order == replay order).
-    ``split_col`` buckets events into files; equal values never straddle."""
+    ``split_col`` buckets events into files; equal values never straddle.
+
+    repartition (NOT coalesce): file count per epoch must be deterministic
+    — through round 4 a 2-partition input made coalesce(4) emit 2 files,
+    so the plain leg's 8 files fit ONE maxFilesPerTrigger=8 micro-batch
+    while the buffered leg ran two, silently comparing a 1-merge run
+    against a 2-merge run. Both legs now run the same micro-batch count."""
     os.makedirs(binlog_dir)
     for e in range(n_ep):
         stage = os.path.join(tmp, f"stage_{os.path.basename(binlog_dir)}_{e}")
-        ev.where(split_col == e).coalesce(4).write.parquet(stage)
+        ev.where(split_col == e).repartition(4).write.parquet(stage)
         for i, fn in enumerate(sorted(os.listdir(stage))):
             if fn.endswith(".parquet"):
                 shutil.copyfile(
@@ -149,21 +155,25 @@ def main():
 
     tmp = tempfile.mkdtemp(prefix="mtm_bench_")
     n_ep = 4
-    # plain leg: txn-atomic epoch files (v1 invariant)
-    _write_binlog_files(
-        spark, ev, tmp, os.path.join(tmp, "binlog"), n_ep, F.pmod(F.col("txn_id"), n_ep)
-    )
-    # buffered leg: BEGIN/COMMIT-marked multi-row txns, files cut on gtid
-    # buckets so transactions straddle micro-batch boundaries — the
-    # cross-batch uuidBuffer (applyInPandasWithState + Arrow state codec)
-    # is on the measured path. Width 50 matches the scaling evidence
-    # (BENCH/STREAM_SCALING_r4.md): buffer cost is per-transaction, so the
-    # leg measures the state-op path, not an arbitrary marker density.
-    ev_marked = with_txn_markers(ev, txn_width=50)
+    # BOTH logs are cut on gtid quantiles — epoch files must be in BINLOG
+    # ORDER (SURVEY ST2: delivery is total-ordered; MySQL rotates files in
+    # position order). Through round 4 the plain leg was cut by txn_id%4,
+    # which interleaves the timeline across epochs — an out-of-order
+    # delivery no binlog produces (and which resurrects deleted keys: a
+    # stale INSERT arriving after the key's DELETE finds no row to carry
+    # the per-key gtid fence). It went unnoticed only because the 8-file
+    # layout fit one micro-batch (see _write_binlog_files).
     qs_bounds = ev.approxQuantile("gtid_seq", [i / n_ep for i in range(1, n_ep)], 0.001)
     file_of = F.lit(0)
     for b in qs_bounds:
         file_of = file_of + (F.col("gtid_seq") > F.lit(b)).cast("int")
+    # plain leg: marker-free one-row txns — trivially txn-atomic files
+    _write_binlog_files(spark, ev, tmp, os.path.join(tmp, "binlog"), n_ep, file_of)
+    # buffered/marked legs: BEGIN/COMMIT-marked 50-row txns on the same
+    # cut, so transactions straddle micro-batch boundaries — the
+    # cross-batch txn buffer is on the measured path. Width 50 matches the
+    # scaling evidence (BENCH/STREAM_SCALING_r4.md).
+    ev_marked = with_txn_markers(ev, txn_width=50)
     _write_binlog_files(
         spark, ev_marked, tmp, os.path.join(tmp, "binlog_buffered"), n_ep, file_of
     )
@@ -177,7 +187,8 @@ def main():
         out.agg(F.sum(F.crc32("content")), F.sum(F.crc32("commit")), F.count("*")).collect()
 
     def run_stream(binlog_name, buffered, trial):
-        sink_dir = os.path.join(tmp, f"sink_{binlog_name}_t{trial}")
+        tag = f"{binlog_name}_{'buf' if buffered else 'plain'}_t{trial}"
+        sink_dir = os.path.join(tmp, f"sink_{tag}")
         sink = ManifestParquetSink(spark, sink_dir, n_buckets=int(CPUS))
         cfg = EngineConfig(
             shuffle_partitions=int(CPUS),
@@ -185,14 +196,15 @@ def main():
             write_changelog=False,
             buffer_transactions=buffered,
         )
-        # generous bound: run_available's default 600s would silently
-        # truncate a load-spiked buffered trial and poison the measurement
+        # generous bound: a load-spiked trial must finish, not truncate
+        # (run_available now RAISES on truncation rather than silently
+        # returning a half-consumed log)
         ApplyJob(
             spark,
             os.path.join(tmp, binlog_name),
             sink,
             cfg,
-            checkpoint_dir=os.path.join(tmp, f"ckpt_{binlog_name}_t{trial}"),
+            checkpoint_dir=os.path.join(tmp, f"ckpt_{tag}"),
         ).run_available(timeout_sec=3500)
         return sink_dir
 
@@ -205,6 +217,17 @@ def main():
         yield (
             "cdc_stream_apply",
             lambda: sink_dirs.__setitem__("plain", run_stream("binlog", False, trial)),
+        )
+        # same-INPUT baseline for the buffered ratio: the marked log with
+        # buffering off (correct on this log too — every txn commits
+        # in-log, so eventual LWW convergence doesn't need the buffer).
+        # Comparing buffered against the plain leg conflates buffer cost
+        # with the marker/layout difference between the two logs.
+        yield (
+            "cdc_stream_apply_marked",
+            lambda: sink_dirs.__setitem__(
+                "marked", run_stream("binlog_buffered", False, trial)
+            ),
         )
         yield (
             "cdc_stream_apply_buffered",
@@ -249,6 +272,10 @@ def main():
         )
         extra["cdc_stream_buffered_events_per_sec"] = round(
             n_row_events / timings["cdc_stream_apply_buffered"], 1
+        )
+        # the buffered-path overhead question, answered on the SAME input
+        extra["cdc_stream_buffered_over_marked"] = round(
+            timings["cdc_stream_apply_buffered"] / timings["cdc_stream_apply_marked"], 3
         )
         # parity evidence: both streaming legs converge to the same table
         for leg, d in sink_dirs.items():
@@ -296,19 +323,22 @@ def main():
     extra["simhash_distinct_fingerprints"] = base.select("h").distinct().count()
 
     # headline value keeps the round-2/3 suite composition so the trend
-    # line stays comparable; the NEW buffered leg (a strictly additional
-    # workload: the same events replayed again through the stateful txn
-    # buffer) is reported per-query + as its own extras, not in the sum
-    total = round(
-        sum(v for k, v in timings.items() if k != "cdc_stream_apply_buffered"), 3
-    )
+    # line stays comparable; the buffered leg and its same-input marked
+    # baseline (strictly additional workloads: the same events replayed
+    # through the txn-buffer path) are reported per-query + as their own
+    # extras, not in the sum. TREND CAVEAT (r5): epoch file counts are now
+    # deterministic (see _write_binlog_files), so cdc_stream_apply runs 2
+    # micro-batches where r2-r4 accidentally ran 1 — its wall time is
+    # expected to rise by roughly one extra full-table CoW merge.
+    excl = {"cdc_stream_apply_buffered", "cdc_stream_apply_marked"}
+    total = round(sum(v for k, v in timings.items() if k not in excl), 3)
     print(
         json.dumps(
             {
                 "metric": "end-to-end CDC apply + operator suite wall time",
                 "value": total,
                 "unit": "sec",
-                "value_excludes": ["cdc_stream_apply_buffered"],
+                "value_excludes": sorted(excl),
                 "queries": timings,
                 "trials": trials,
                 "trial_policy": f"best-of-{TRIALS}, interleaved (trial loop outermost)",

@@ -81,14 +81,32 @@ class EngineConfig:
     #: wire format of the binlog event files: 'parquet' (default, columnar)
     #: or 'json' (one AugmentedRow object per line, CHANGES.txt:87)
     binlog_format: str = "parquet"
-    #: v2 cross-batch transaction reassembly (applyInPandasWithState keyed
-    #: by txn_id): set when the binlog files may split transactions; with
-    #: txn-atomic files (MySQL rotation semantics) the buffer is unnecessary.
-    #: Measured cost (BENCH/STREAM_SCALING_r4.md): per-TRANSACTION stateful
-    #: group overhead (~450 txns/s at 8 cores, ~56/core), so wall overhead
-    #: vs the unbuffered path shrinks with transaction size (4.7x at 50-row
-    #: txns); scaling N->4N is 0.79 — the overhead parallelizes cleanly
+    #: v2 cross-batch transaction reassembly: set when the binlog files may
+    #: split transactions; with txn-atomic files (MySQL rotation semantics)
+    #: the buffer is unnecessary.
     buffer_transactions: bool = False
+    #: which implementation backs buffer_transactions:
+    #: 'jvm' (DEFAULT) — foreachBatch pre-partition: broadcast semi/anti
+    #:   join on the committed-txn id set + a fenced epoch-keyed parquet
+    #:   pending store for boundary-straddling fragments. Zero Python on
+    #:   the event path; measured within noise of the unbuffered stream
+    #:   (BENCH_r05). See streaming/txn_store.py for why any
+    #:   through-Python design loses: the pandas conversion of the two
+    #:   map payload columns costs ~16 s per 1M events even as a pure
+    #:   passthrough.
+    #: 'state' — the applyInPandasWithState operator (bucketed hybrid,
+    #:   streaming/txn_buffer.py): Spark-managed state, kept as the
+    #:   parity reference; pays the conversion floor (~4x wall at
+    #:   50-row transactions).
+    txn_buffer_impl: str = "jvm"
+
+    def resolved_txn_buffer_impl(self) -> str:
+        if self.txn_buffer_impl not in ("jvm", "state"):
+            raise ValueError(
+                f"unknown txn_buffer_impl {self.txn_buffer_impl!r}; "
+                "expected 'jvm' or 'state'"
+            )
+        return self.txn_buffer_impl
     #: event-time bound after which a BEGIN-without-COMMIT transaction's
     #: buffered state is evicted (the clear-on-rotate analogue,
     #: CHANGES.txt:112). None = keep state forever (v1 behavior). Only

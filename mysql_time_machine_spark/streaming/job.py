@@ -54,16 +54,32 @@ class ApplyJob:
         self.sink = sink
         self.cfg = cfg or EngineConfig()
         self.checkpoint_dir = checkpoint_dir or os.path.join(sink.root, "_checkpoint")
+        self.txn_store = None
         if self.cfg.buffer_transactions:
-            # key the checkpoint by the txn-buffer STATE format version: a
-            # binary with a bumped version starts a FRESH checkpoint
-            # instead of silently resuming incompatible state (offsets
-            # replay from the start; the sink fence makes that idempotent)
-            from mysql_time_machine_spark.streaming.txn_buffer import STATE_FORMAT_VERSION
+            # key the checkpoint by the buffer impl + its format version: a
+            # binary with a different impl or a bumped version starts a
+            # FRESH checkpoint instead of silently resuming incompatible
+            # state (offsets replay; the sink fence makes that idempotent)
+            impl = self.cfg.resolved_txn_buffer_impl()
+            if impl == "state":
+                from mysql_time_machine_spark.streaming.txn_buffer import STATE_FORMAT_VERSION
 
-            self.checkpoint_dir = os.path.join(
-                self.checkpoint_dir, f"txn_state_v{STATE_FORMAT_VERSION}"
-            )
+                self.checkpoint_dir = os.path.join(
+                    self.checkpoint_dir, f"txn_state_v{STATE_FORMAT_VERSION}"
+                )
+            else:
+                from mysql_time_machine_spark.streaming.txn_store import (
+                    PENDING_FORMAT_VERSION,
+                    TxnPendingStore,
+                )
+
+                self.checkpoint_dir = os.path.join(
+                    self.checkpoint_dir, f"txn_jvm_v{PENDING_FORMAT_VERSION}"
+                )
+                self.txn_store = TxnPendingStore(
+                    self.checkpoint_dir + "_pending",
+                    abandon_timeout=self.cfg.txn_abandon_timeout,
+                )
         # active schema reloaded from the last committed manifest — schema
         # history survives crashes with the data it describes
         self.registry = SchemaRegistry.from_manifest(sink.current_manifest().get("registry", []))
@@ -72,6 +88,10 @@ class ApplyJob:
     # -- per-micro-batch body -------------------------------------------------
     def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
         cfg = self.cfg
+        if self.txn_store is not None:
+            # jvm txn buffering: release committed transactions (merging in
+            # fragments left pending by earlier epochs), park straddlers
+            batch = self.txn_store.resolve(batch, epoch_id)
         batch = filter_events(batch, cfg)
         batch = batch.withColumn("_class", classify_event())
         batch.persist()
@@ -174,17 +194,30 @@ class ApplyJob:
             fmt=self.cfg.binlog_format,
             max_files_per_trigger=self.cfg.max_files_per_trigger,
         )
-        if self.cfg.buffer_transactions:
-            # v2 path: cross-batch uuidBuffer — epoch files may split
-            # transactions; only COMMITted transactions reach the sink
+        if self.cfg.buffer_transactions and self.txn_store is None:
+            # 'state' impl: cross-batch uuidBuffer as a stateful operator —
+            # bucketed hybrid (batch-complete txns bypass state inside the
+            # group call, Python calls capped at shuffle_partitions/batch).
+            # The default 'jvm' impl resolves inside process_batch instead.
             from mysql_time_machine_spark.streaming.txn_buffer import buffer_transactions
 
-            s = buffer_transactions(s, abandon_timeout=self.cfg.txn_abandon_timeout)
+            s = buffer_transactions(
+                s,
+                abandon_timeout=self.cfg.txn_abandon_timeout,
+                n_buckets=self.cfg.shuffle_partitions,
+            )
         return s
 
-    def run_available(self, timeout_sec: int = 600) -> None:
+    def run_available(self, timeout_sec: float = 600) -> None:
         """Consume everything currently in the binlog dir, then stop —
-        the end-binlog-file / snapshot-replay mode (CHANGES.txt:129,139)."""
+        the end-binlog-file / snapshot-replay mode (CHANGES.txt:129,139).
+
+        Raises TimeoutError if ``timeout_sec`` elapses before the
+        AvailableNow query drains the directory: a truncated run is NOT a
+        completed one, and silently returning would hand the caller a
+        half-consumed log. State stays consistent either way — offsets are
+        checkpointed per micro-batch and the sink's epoch fence makes a
+        re-run (which resumes from the checkpoint) converge."""
         q = (
             self.stream()
             .writeStream.foreachBatch(self.process_batch)
@@ -192,5 +225,12 @@ class ApplyJob:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(timeout_sec)
-        q.stop()
+        try:
+            finished = q.awaitTermination(timeout_sec)
+        finally:
+            q.stop()
+        if not finished:
+            raise TimeoutError(
+                f"run_available: binlog not drained within {timeout_sec}s "
+                "(checkpoint is consistent; re-run to resume from it)"
+            )

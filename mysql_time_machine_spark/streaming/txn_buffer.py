@@ -3,22 +3,36 @@
 The reference buffers events per transaction uuid and releases them at
 COMMIT (/root/reference/CHANGES.txt:168-170). v1 of this engine sidesteps
 cross-batch fragments with the txn-atomic epoch-file invariant (MySQL
-rotation gives the same quarantee); THIS operator removes the invariant:
-``applyInPandasWithState`` keyed by ``txn_id`` buffers row events of
-transactions whose COMMIT has not arrived yet and releases the whole
-transaction — possibly several micro-batches later — when it does.
+rotation gives the same guarantee); THIS operator removes the invariant:
+a stateful operator buffers row events of transactions whose COMMIT has
+not arrived yet and releases the whole transaction — possibly several
+micro-batches later — when it does.
 
-State representation (the 100-TB-transaction path): buffered fragments are
-stored as an ``array<binary>`` of Arrow IPC chunks — each micro-batch's
-fragment is encoded ONCE as a columnar Arrow stream (zero per-row Python,
-no JSON string building) and APPENDED to the chunk list, so a transaction
-spanning k micro-batches pays k fragment encodes, never a re-encode of
-what's already buffered. On COMMIT the chunks are concatenated back into
-one pandas frame. A multi-MB-row transaction therefore moves through state
-at Arrow columnar speed instead of row-at-a-time JSON (the round-1/2
-representation this replaces — see tools/bench_txn_state.py for the
-measured gap). ``last_ts_ns`` rides along so timeout arming never re-reads
-the chunks.
+HYBRID KEYING (the 100-TB-throughput design, round 5): the operator is
+keyed by ``pmod(txn_id, n_buckets)``, NOT by ``txn_id``. Per-txn keying
+costs one Python group-state invocation per transaction per touching
+micro-batch (~56 txn/s/core measured, BENCH/STREAM_SCALING_r4.md — a
+4.6x wall overhead at 50-row transactions). Bucket keying caps the
+per-micro-batch Python call count at ``n_buckets`` regardless of
+transaction count, and inside each bucket call the split is vectorized:
+
+* transactions whose COMMIT is in THIS micro-batch and that have no
+  buffered prior state (BEGIN and COMMIT landed in the same batch — the
+  overwhelmingly common case at realistic binlog file sizes) are emitted
+  directly from the batch frame with two pandas mask operations. They
+  NEVER touch state — no encode, no state round trip.
+* committing transactions WITH buffered fragments decode exactly their
+  own chunks, concat, and emit.
+* only boundary-straddling, still-open fragments are encoded into state
+  (one Arrow IPC chunk per txn per touching batch, appended — never a
+  re-encode of what's already buffered).
+
+State representation: three PARALLEL arrays — ``txn_ids[i]`` owns IPC
+chunk ``chunks[i]`` whose max buffered event time is ``ts_ns[i]``. A txn
+spanning k micro-batches owns k entries; release filters its entries out
+without touching other transactions' bytes. Fragments move through state
+as columnar Arrow streams (zero per-row Python — see
+tools/bench_txn_state.py for the measured gap vs row-at-a-time JSON).
 
 Late-released transactions carry their original gtid, so downstream
 last-writer-wins (collapse + the sink's per-key gtid monotonicity guard)
@@ -29,39 +43,38 @@ dropped whole rather than cell-merged (row-granularity LWW, not
 cell-granularity, for the late-release corner).
 
 Abandoned transactions (BEGIN but never COMMIT — a killed producer) are
-evicted by an EVENT-TIME timeout when ``abandon_timeout`` is set: the
-analogue of the reference's clear-buffers-on-rotate (CHANGES.txt:112),
-expressed in Spark's state API. A state timeout is the only mechanism
-that can reach a group that never receives another event — a ROTATE lands
-in its own group (txn_id = -1), never in the abandoned transaction's.
-Mechanics:
+evicted on an EVENT-TIME bound when ``abandon_timeout`` is set: the
+analogue of the reference's clear-buffers-on-rotate (CHANGES.txt:112).
+With bucket keying the per-txn bound is enforced two ways, both against
+the same condition (last buffered activity fell behind the watermark,
+which lags max event time by abandon_timeout):
 
-* row/BEGIN/COMMIT events (txn_id != -1) pass through
-  ``withWatermark(ts, abandon_timeout)``; control events (DDL/ROTATE and
-  snapshot rows at txn_id = -1, including ROTATE's ts=0 which must never
-  be treated as late data) bypass the stateful operator entirely and are
-  unioned back downstream.
-* each update arms ``setTimeoutTimestamp(last buffered event ts)``: the
-  watermark already lags max-event-time by abandon_timeout, so the group
-  times out exactly when the stream has advanced abandon_timeout past the
-  transaction's last activity. On timeout the state is dropped and
-  nothing is emitted — dangling fragments never reach the sink.
-* event-time timeouts fire only when new data advances the watermark, so
-  an ``availableNow`` query terminates normally (a processing-time
-  timeout would schedule empty wake-up batches forever).
+* a LAZY SWEEP at the start of every bucket call drops expired txns'
+  chunks before new work; and
+* the bucket arms ``setTimeoutTimestamp`` at the OLDEST open txn's last
+  activity, so a bucket that stops receiving events still gets a timeout
+  callback — it sweeps and re-arms at the new oldest, until empty. A
+  state timeout is the only mechanism that reaches a group with no new
+  events; ROTATE lands in the control path (txn_id = -1), never in the
+  abandoned transaction's bucket.
 
-CHECKPOINT COMPATIBILITY: ``STATE_SCHEMA`` changed in round 3 from
-``events_json STRING`` (row-at-a-time JSON) to the Arrow-chunk form
-``chunks array<binary>, last_ts_ns bigint``. Spark's state-store schema
-check rejects a checkpoint written by the old format — a job restarted
-from a pre-round-3 checkpoint fails fast at query start (it cannot
-silently misread old state). ``STATE_FORMAT_VERSION`` is ENFORCED by
-``ApplyJob``: buffered jobs checkpoint under
-``<checkpoint>/txn_state_v{N}``, so a binary with a bumped version starts
-a fresh checkpoint automatically instead of reusing incompatible state —
-offsets replay from the start of the binlog dir and the sink's epoch
-fence absorbs the replay. Bump the constant whenever ``STATE_SCHEMA``
-changes again.
+Control events (DDL/ROTATE/snapshot rows at txn_id = -1, including
+ROTATE's ts=0 which must never be treated as late data) bypass the
+stateful operator entirely and are unioned back downstream — in BOTH the
+evicting and non-evicting paths. Event-time timeouts fire only when new
+data advances the watermark, so an ``availableNow`` query terminates
+normally (a processing-time timeout would schedule empty wake-up batches
+forever).
+
+CHECKPOINT COMPATIBILITY: ``STATE_SCHEMA`` changed again in round 5
+(v2 per-txn ``chunks array<binary>, last_ts_ns bigint`` -> v3 per-bucket
+parallel arrays) and the grouping key changed from txn_id to the bucket.
+``STATE_FORMAT_VERSION`` is ENFORCED by ``ApplyJob``: buffered jobs
+checkpoint under ``<checkpoint>/txn_state_v{N}``, so a binary with a
+bumped version starts a fresh checkpoint automatically instead of
+resuming incompatible state — offsets replay from the start of the
+binlog dir and the sink's epoch fence absorbs the replay. Bump the
+constant whenever ``STATE_SCHEMA`` or the keying changes again.
 """
 
 from __future__ import annotations
@@ -77,12 +90,12 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from mysql_time_machine_spark.schema import EVENT_SCHEMA
 
-#: state: buffered row-event fragments as Arrow IPC chunks (one per
-#: micro-batch that touched the transaction) + max buffered event time.
-#: Bump STATE_FORMAT_VERSION on any change — existing checkpoints are
-#: incompatible (see module docstring).
-STATE_FORMAT_VERSION = 2
-STATE_SCHEMA = "chunks array<binary>, last_ts_ns bigint"
+#: state: PARALLEL arrays — txn_ids[i] owns Arrow IPC chunk chunks[i]
+#: (one chunk per micro-batch that buffered rows for that txn) with max
+#: buffered event time ts_ns[i]. Bump STATE_FORMAT_VERSION on any change
+#: — existing checkpoints are incompatible (see module docstring).
+STATE_FORMAT_VERSION = 3
+STATE_SCHEMA = "txn_ids array<long>, chunks array<binary>, ts_ns array<long>"
 
 _MAP_COLS = ("before", "after")
 
@@ -133,91 +146,126 @@ def ipc_to_pdf(chunks: list[bytes]) -> pd.DataFrame:
     return pdf
 
 
-def _make_buffer_fn(evict: bool) -> Callable:
-    def _buffer_fn(
+def _txn_last_ms(txn_ids: list[int], ts_ns: list[int]) -> dict[int, int]:
+    """Per-txn last buffered activity in epoch-ms (max over its chunks)."""
+    last: dict[int, int] = {}
+    for t, ns in zip(txn_ids, ts_ns):
+        ms = ns // 1_000_000
+        if t not in last or ms > last[t]:
+            last[t] = ms
+    return last
+
+
+def _make_bucket_fn(evict: bool) -> Callable:
+    def _bucket_fn(
         key: tuple,
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        (txn_id,) = key
         cols = [f.name for f in EVENT_SCHEMA.fields]
 
+        def load() -> tuple[list, list, list]:
+            if state.exists:
+                t, c, n = state.get
+                return list(t), list(c), list(n)
+            return [], [], []
+
+        def sweep(t, c, n, wm):
+            # drop EVERY chunk of txns whose last activity fell behind the
+            # watermark — the stream advanced abandon_timeout past them
+            last = _txn_last_ms(t, n)
+            expired = {x for x, ms in last.items() if ms < wm}
+            if not expired:
+                return t, c, n
+            keep = [i for i, x in enumerate(t) if x not in expired]
+            return [t[i] for i in keep], [c[i] for i in keep], [n[i] for i in keep]
+
+        def save(t, c, n):
+            if t:
+                state.update((t, c, n))
+                if evict:
+                    wm = state.getCurrentWatermarkMs()
+                    # arm at the OLDEST open txn's last activity: the
+                    # callback sweeps it (and any peers) and re-arms at the
+                    # new oldest. Must stay strictly above the watermark.
+                    state.setTimeoutTimestamp(max(min(_txn_last_ms(t, n).values()), wm + 1))
+            elif state.exists:
+                state.remove()
+
         if evict and state.hasTimedOut:
-            # abandoned: the stream advanced abandon_timeout past this
-            # transaction's last event with no COMMIT — drop the fragments
-            state.remove()
+            # no new events for this bucket; expire what the watermark passed
+            t, c, n = load()
+            t, c, n = sweep(t, c, n, state.getCurrentWatermarkMs())
+            save(t, c, n)
             return
 
         batch = pd.concat(list(pdfs), ignore_index=True)
-        # control-plane events (DDL/ROTATE at txn_id=-1) pass through
-        # untouched (only reachable when eviction is off; with eviction on,
-        # control events bypass the operator entirely)
-        if txn_id == -1:
-            yield batch[cols]
-            return
+        t, c, n = load()
+        if evict:
+            t, c, n = sweep(t, c, n, state.getCurrentWatermarkMs())
 
-        rows = batch[batch["op"].isin(["I", "U", "D"])]
-        committed = bool((batch["op"] == "COMMIT").any())
+        rows = batch[batch["op"].isin(("I", "U", "D"))]
+        commits = set(batch.loc[batch["op"] == "COMMIT", "txn_id"])
 
-        chunks: list[bytes] = []
-        last_ts_ns: int | None = None
-        if state.exists:
-            chunks, last_ts_ns = state.get
-            chunks = list(chunks)
+        if commits:
+            # the hybrid fast path: committed txns emit straight from the
+            # batch frame — only those with buffered PRIOR fragments (a
+            # micro-batch-boundary straddle) touch state at all
+            out = rows.loc[rows["txn_id"].isin(commits), cols]
+            straddled = commits.intersection(t)
+            if straddled:
+                prior = ipc_to_pdf([c[i] for i, x in enumerate(t) if x in straddled])
+                keep = [i for i, x in enumerate(t) if x not in straddled]
+                t, c, n = [t[i] for i in keep], [c[i] for i in keep], [n[i] for i in keep]
+                out = pd.concat([prior[cols], out], ignore_index=True)
+            if len(out):
+                yield out
+        pend = rows[~rows["txn_id"].isin(commits)] if commits else rows
+        if len(pend):
+            # still-open fragments: one columnar IPC chunk per txn, APPENDED
+            # — buffered bytes of other txns are never re-encoded
+            ns = pd.to_datetime(pend["ts"]).astype("datetime64[ns]").astype("int64")
+            for x, g in pend.groupby("txn_id", sort=False):
+                t.append(int(x))
+                c.append(pdf_to_ipc(g[cols]))
+                n.append(int(ns.loc[g.index].max()))
+        save(t, c, n)
 
-        if committed:
-            if state.exists:
-                state.remove()
-            prior = ipc_to_pdf(chunks) if chunks else pd.DataFrame(columns=cols)
-            full = pd.concat([prior, rows], ignore_index=True) if len(rows) else prior
-            if len(full):
-                yield full[cols]
-        else:
-            if len(rows):
-                chunks.append(pdf_to_ipc(rows[cols]))
-                frag_max = int(
-                    pd.to_datetime(rows["ts"]).astype("datetime64[ns]").astype("int64").max()
-                )
-                last_ts_ns = frag_max if last_ts_ns is None else max(last_ts_ns, frag_max)
-            state.update((chunks, last_ts_ns))
-            if evict:
-                wm = state.getCurrentWatermarkMs()
-                # arm at last activity; must stay above the current watermark
-                arm = wm + 1 if last_ts_ns is None else max(last_ts_ns // 1_000_000, wm + 1)
-                state.setTimeoutTimestamp(arm)
-
-    return _buffer_fn
+    return _bucket_fn
 
 
-def buffer_transactions(events: DataFrame, abandon_timeout: str | None = None) -> DataFrame:
+def buffer_transactions(
+    events: DataFrame,
+    abandon_timeout: str | None = None,
+    n_buckets: int = 32,
+) -> DataFrame:
     """events (streaming) -> row events of COMMITTED transactions only,
     released whole, plus control events. BEGIN/COMMIT markers themselves
     are consumed here. ``abandon_timeout`` (e.g. "2 hours", event-time)
     evicts BEGIN-without-COMMIT state; None keeps state forever (v1
-    behavior, safe when the producer cannot die mid-transaction)."""
-    if abandon_timeout is None:
-        return events.groupBy("txn_id").applyInPandasWithState(
-            _make_buffer_fn(evict=False),
-            outputStructType=EVENT_SCHEMA,
-            stateStructType=STATE_SCHEMA,
-            outputMode="append",
-            # NoTimeout: a processing-time timeout keeps an availableNow
-            # query scheduling wake-up batches forever
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        )
-
+    behavior, safe when the producer cannot die mid-transaction).
+    ``n_buckets`` caps the per-micro-batch Python group-call count (see
+    module docstring); size it near the job's shuffle parallelism."""
     cols = [f.name for f in EVENT_SCHEMA.fields]
     data = events.where(F.col("txn_id") != -1)
     control = events.where(F.col("txn_id") == -1)
+    if abandon_timeout is not None:
+        data = data.withWatermark("ts", abandon_timeout)
     buffered = (
-        data.withWatermark("ts", abandon_timeout)
-        .groupBy("txn_id")
+        data.withColumn("_txn_bucket", F.pmod(F.col("txn_id"), F.lit(n_buckets)))
+        .groupBy("_txn_bucket")
         .applyInPandasWithState(
-            _make_buffer_fn(evict=True),
+            _make_bucket_fn(evict=abandon_timeout is not None),
             outputStructType=EVENT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            # with no eviction: NoTimeout — a processing-time timeout keeps
+            # an availableNow query scheduling wake-up batches forever
+            timeoutConf=(
+                GroupStateTimeout.EventTimeTimeout
+                if abandon_timeout is not None
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )
     return buffered.select(*cols).unionByName(control.select(*cols))

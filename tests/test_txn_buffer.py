@@ -24,15 +24,17 @@ def split_log():
     return generate_rich(seed=21, n_keys=30, n_txns=100, n_epochs=6)
 
 
-def test_split_transactions_reassembled(spark, split_log, tmp_path_factory):
-    """Epoch files deliberately cut MID-transaction: only the stateful
-    buffer makes the final state correct; it must equal the oracle."""
-    binlog = str(tmp_path_factory.mktemp("binlog_split"))
+@pytest.mark.parametrize("impl", ["jvm", "state"])
+def test_split_transactions_reassembled(spark, split_log, tmp_path_factory, impl):
+    """Epoch files deliberately cut MID-transaction: only the txn buffer
+    makes the final state correct; it must equal the oracle — for BOTH
+    implementations (jvm pending store and stateful operator)."""
+    binlog = str(tmp_path_factory.mktemp(f"binlog_split_{impl}"))
     write_epoch_files_splitting(split_log, binlog, spark, n_files=6)
-    root = str(tmp_path_factory.mktemp("sink_split"))
+    root = str(tmp_path_factory.mktemp(f"sink_split_{impl}"))
     cfg = EngineConfig(
         max_files_per_trigger=1, shuffle_partitions=8, buffer_transactions=True,
-        write_changelog=False,
+        write_changelog=False, txn_buffer_impl=impl,
     )
     sink = ManifestParquetSink(spark, root)
     ApplyJob(spark, binlog, sink, cfg).run_available()
@@ -48,7 +50,8 @@ def test_split_transactions_reassembled(spark, split_log, tmp_path_factory):
     assert got["content_sha256"].tolist() == exp["content_sha256"].tolist()
 
 
-def test_uncommitted_tail_not_applied(spark, split_log, tmp_path_factory):
+@pytest.mark.parametrize("impl", ["jvm", "state"])
+def test_uncommitted_tail_not_applied(spark, split_log, tmp_path_factory, impl):
     """A transaction whose COMMIT never arrives must not reach the table
     (buffered, then evicted by timeout — CHANGES.txt:112 semantics)."""
     ev = split_log.events.drop(columns=["epoch"]).reset_index(drop=True)
@@ -63,12 +66,12 @@ def test_uncommitted_tail_not_applied(spark, split_log, tmp_path_factory):
     log2 = gb.RichLog(
         events=truncated.assign(epoch=0), registry=split_log.registry, n_epochs=1
     )
-    binlog = str(tmp_path_factory.mktemp("binlog_trunc"))
+    binlog = str(tmp_path_factory.mktemp(f"binlog_trunc_{impl}"))
     write_epoch_files_splitting(log2, binlog, spark, n_files=2)
-    root = str(tmp_path_factory.mktemp("sink_trunc"))
+    root = str(tmp_path_factory.mktemp(f"sink_trunc_{impl}"))
     cfg = EngineConfig(
         max_files_per_trigger=1, shuffle_partitions=8, buffer_transactions=True,
-        write_changelog=False,
+        write_changelog=False, txn_buffer_impl=impl,
     )
     sink = ManifestParquetSink(spark, root)
     ApplyJob(spark, binlog, sink, cfg).run_available()
@@ -135,28 +138,109 @@ def _abandoned_stream(spark, tmpdir: str) -> str:
     return binlog
 
 
+@pytest.mark.parametrize("impl", ["jvm", "state"])
 @pytest.mark.parametrize("timeout,state_rows", [("1 hour", 0), (None, 1)])
-def test_abandoned_txn_state_evicted(spark, tmp_path_factory, timeout, state_rows):
+def test_abandoned_txn_state_evicted(spark, tmp_path_factory, timeout, state_rows, impl):
     """With abandon_timeout set, a BEGIN-without-COMMIT transaction's state
     is evicted once the stream's event time advances past the bound — its
-    fragments never reach the table and the state store shrinks to empty.
-    Without it (v1), the dangling state row stays forever."""
-    tmpdir = str(tmp_path_factory.mktemp(f"evict_{state_rows}"))
+    fragments never reach the table and the buffer (state store / pending
+    store) shrinks to empty. Without it (v1), the dangling row stays."""
+    tmpdir = str(tmp_path_factory.mktemp(f"evict_{impl}_{state_rows}"))
     binlog = _abandoned_stream(spark, tmpdir)
     ckpt = os.path.join(tmpdir, "ckpt")
     cfg = EngineConfig(
         max_files_per_trigger=1, shuffle_partitions=4, buffer_transactions=True,
-        txn_abandon_timeout=timeout, write_changelog=False,
+        txn_abandon_timeout=timeout, write_changelog=False, txn_buffer_impl=impl,
     )
     sink = ManifestParquetSink(spark, os.path.join(tmpdir, "sink"))
-    ApplyJob(spark, binlog, sink, cfg, checkpoint_dir=ckpt).run_available()
+    job = ApplyJob(spark, binlog, sink, cfg, checkpoint_dir=ckpt)
+    job.run_available()
 
     final = {r["path"]: r for r in sink.read().collect()}
     assert final["k0"]["content"] == "base"  # dangling update never applied
     assert final["k1"]["content"] == "b1v2"  # later txns unaffected
-    # buffered checkpoints are keyed by the state-format version (ApplyJob
-    # appends txn_state_v{N} so a format bump never resumes old state)
-    from mysql_time_machine_spark.streaming.txn_buffer import STATE_FORMAT_VERSION
+    # buffered checkpoints are keyed by impl + format version (ApplyJob
+    # appends txn_state_v{N} / txn_jvm_v{N} so a format bump or impl
+    # switch never resumes incompatible state)
+    if impl == "state":
+        from mysql_time_machine_spark.streaming.txn_buffer import STATE_FORMAT_VERSION
 
-    versioned = os.path.join(ckpt, f"txn_state_v{STATE_FORMAT_VERSION}")
-    assert spark.read.format("statestore").load(versioned).count() == state_rows
+        versioned = os.path.join(ckpt, f"txn_state_v{STATE_FORMAT_VERSION}")
+        assert spark.read.format("statestore").load(versioned).count() == state_rows
+    else:
+        pend = job.txn_store.pending_fragments(spark)
+        assert pend.count() == state_rows
+        if state_rows:  # the dangler, nothing else
+            assert [r["txn_id"] for r in pend.collect()] == [2]
+
+
+@pytest.mark.parametrize("impl", ["jvm", "state"])
+def test_batch_complete_txns_bypass_state(spark, tmp_path_factory, impl):
+    """The round-5 hybrid: a transaction whose BEGIN and COMMIT land in the
+    SAME micro-batch must never be written to the buffer — after the
+    first batch, state holds ONLY the boundary-straddling fragment."""
+    rows = []
+
+    def ev(epoch, op, g, txn, seq, repo=None, path=None, after=None, ddl=None):
+        rows.append(dict(
+            log_file="binlog.000001", log_pos=g, gtid=f"u:{g}", gtid_seq=g,
+            txn_id=txn, seq_in_txn=seq, server_id=1,
+            ts=T0 + pd.Timedelta(seconds=g), op=op, schema_version=1,
+            repo=repo, path=path, before=None, after=after, ddl=ddl, epoch=epoch,
+        ))
+
+    # file 0: txn 1 complete, txn 2 straddles (COMMIT lands in file 1)
+    ev(0, "BEGIN", 10, 1, 0, ddl="BEGIN")
+    ev(0, "I", 11, 1, 1, "o", "a", {"commit": "c0", "lang": "py", "content": "A"})
+    ev(0, "COMMIT", 12, 1, 9, ddl="COMMIT")
+    ev(0, "BEGIN", 20, 2, 0, ddl="BEGIN")
+    ev(0, "I", 21, 2, 1, "o", "b", {"commit": "c0", "lang": "py", "content": "B1"})
+    # file 1: txn 2's tail + commit, txn 3 complete
+    ev(1, "U", 30, 2, 2, "o", "b", {"content": "B2"})
+    ev(1, "COMMIT", 31, 2, 9, ddl="COMMIT")
+    ev(1, "BEGIN", 40, 3, 0, ddl="BEGIN")
+    ev(1, "I", 41, 3, 1, "o", "c", {"commit": "c0", "lang": "go", "content": "C"})
+    ev(1, "COMMIT", 42, 3, 9, ddl="COMMIT")
+
+    tmpdir = str(tmp_path_factory.mktemp(f"hybrid_{impl}"))
+    df = pd.DataFrame(rows)
+    binlog = os.path.join(tmpdir, "binlog")
+    os.makedirs(binlog)
+    for e in range(2):
+        sub = df[df["epoch"] == e].drop(columns=["epoch"])
+        sdf = spark.createDataFrame(sub, schema=EVENT_SCHEMA)
+        stage = os.path.join(tmpdir, f"s{e}")
+        sdf.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.copyfile(part, os.path.join(binlog, f"epoch-{e:03d}.parquet"))
+        time.sleep(0.05)
+
+    ckpt = os.path.join(tmpdir, "ckpt")
+    cfg = EngineConfig(
+        max_files_per_trigger=1, shuffle_partitions=4, buffer_transactions=True,
+        write_changelog=False, txn_buffer_impl=impl,
+    )
+    sink = ManifestParquetSink(spark, os.path.join(tmpdir, "sink"))
+    job = ApplyJob(spark, binlog, sink, cfg, checkpoint_dir=ckpt)
+    job.run_available()
+
+    final = {r["path"]: r["content"] for r in sink.read().collect()}
+    assert final == {"a": "A", "b": "B2", "c": "C"}
+
+    if impl == "state":
+        from mysql_time_machine_spark.streaming.txn_buffer import STATE_FORMAT_VERSION
+
+        versioned = os.path.join(ckpt, f"txn_state_v{STATE_FORMAT_VERSION}")
+        after_b0 = spark.read.format("statestore").option("batchId", 0).load(versioned)
+        state_rows = after_b0.select("value.groupState.txn_ids").collect()
+        # exactly one bucket row, holding ONLY the straddler (txn 2) — the
+        # batch-complete txn 1 went around state
+        assert len(state_rows) == 1
+        assert list(state_rows[0]["txn_ids"]) == [2]
+        assert spark.read.format("statestore").load(versioned).count() == 0
+    else:
+        # snapshot 0 parked ONLY the straddler's fragment; batch-complete
+        # txn 1 never entered the store. After batch 1: empty.
+        snap0 = job.txn_store.pending_fragments(spark, epoch=0)
+        assert [r["txn_id"] for r in snap0.collect()] == [2]
+        assert job.txn_store.pending_fragments(spark).count() == 0
