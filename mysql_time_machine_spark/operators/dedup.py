@@ -60,7 +60,7 @@ def exact_dedup_stream(
     id_col: str = "doc_id",
     max_files_per_trigger: int = 2,
     sink_dir: str | None = None,
-    n_buckets: int = 8,
+    n_buckets: int = 64,
 ) -> DataFrame:
     """Streaming exact dedup: tail ``source_path`` as a file-source stream
     (new corpus drops arrive as files), fold each micro-batch into the
@@ -91,6 +91,16 @@ def exact_dedup_stream(
       checkpoint lives under ``<sink_dir>/_checkpoint``: a later call over
       the same dir resumes incrementally (only new files are processed).
       ``sink_dir`` must be a shared filesystem on a real cluster.
+
+      SIZING RULE — ``n_buckets`` must be well ABOVE the distinct keys a
+      micro-batch carries: text_md5 keys are uniform, so a batch with
+      >= n_buckets distinct keys touches EVERY bucket and the CoW merge
+      rewrites the whole store (rewrite amplification = store/batch).
+      With buckets >> per-batch keys, each batch rewrites only
+      ~keys/n_buckets of the store. The first run PERSISTS n_buckets in
+      ``<sink_dir>/_store_meta.json`` and every resume adopts the stored
+      value — a different bucketing would read the wrong bucket dirs for
+      existing keys and silently duplicate them.
     * no ``sink_dir`` — test/oracle harness shape: complete-mode memory
       sink. The result is copied out with ``localCheckpoint`` (executor
       storage) and the driver-resident memory-sink table is DROPPED before
@@ -130,6 +140,20 @@ def exact_dedup_stream(
         return out
 
     store = _os.path.join(sink_dir, "store")
+    # the bucketing is baked into the file layout: adopt the stored value
+    # on resume (see sizing rule above), persist it on first run
+    import json as _json
+
+    meta_path = _os.path.join(sink_dir, "_store_meta.json")
+    if _os.path.exists(meta_path):
+        with open(meta_path) as f:
+            n_buckets = int(_json.load(f)["n_buckets"])
+    else:
+        _os.makedirs(sink_dir, exist_ok=True)
+        tmp_meta = meta_path + ".tmp"
+        with open(tmp_meta, "w") as f:
+            _json.dump({"n_buckets": n_buckets}, f)
+        _os.replace(tmp_meta, meta_path)
 
     def _bucket_of(col):
         return F.pmod(
@@ -178,10 +202,10 @@ def exact_dedup_stream(
     if not _os.path.isdir(store):
         # zero-data source: no batch ever ran, so the store was never
         # created — return the (empty) result shape, matching the
-        # memory-sink path's behavior on the same input
-        return spark.createDataFrame(
-            [], "text_md5 string, canonical_id long, n_copies long"
-        )
+        # memory-sink path's behavior on the same input. agg.schema, not a
+        # hardcoded DDL: canonical_id's type follows id_col (min(id_col)),
+        # so string doc ids must yield a string column here too
+        return spark.createDataFrame([], agg.schema)
     return spark.read.parquet(store).drop("_bucket")
 
 

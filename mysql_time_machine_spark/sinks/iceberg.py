@@ -138,15 +138,25 @@ def fence_read_statement(fence_table: str, job_id: str) -> str:
 def maintenance_statements(
     table: str, catalog: str = "spark_catalog", retain_last: int = 7,
     changelog_older_than_day: str | None = None,
+    compact: bool = True,
 ) -> list[str]:
     """Retention maintenance for the jar-backed sink — the Iceberg-native
-    twin of ``ManifestParquetSink.expire_snapshots`` /
-    ``expire_changelog``: the snapshot-expiry procedure (Iceberg deletes
-    only files unreferenced by retained snapshots, the same rule the
-    manifest sink implements by hand), orphan-file cleanup, and an
-    optional day-bounded changelog DELETE (cheap on the days(ts)-
-    partitioned changelog: partition-level deletes)."""
-    stmts = [
+    twin of ``ManifestParquetSink.rewrite_data_files`` /
+    ``expire_snapshots`` / ``remove_orphan_files`` / ``expire_changelog``,
+    in the canonical order: compact first (a rewrite commits a NEW
+    snapshot whose small source files stay referenced by prior snapshots),
+    then expire snapshots (which reclaims the pre-compaction files once
+    unreferenced — Iceberg deletes only files unreferenced by retained
+    snapshots, the same rule the manifest sink implements by hand), then
+    orphan cleanup, then the optional day-bounded changelog DELETE (cheap
+    on the days(ts)-partitioned changelog: partition-level deletes)."""
+    stmts = []
+    if compact:
+        stmts.append(
+            f"CALL {catalog}.system.rewrite_data_files(table => '{table}', "
+            "options => map('min-input-files', '2'))"
+        )
+    stmts += [
         f"CALL {catalog}.system.expire_snapshots(table => '{table}', retain_last => {retain_last})",
         f"CALL {catalog}.system.remove_orphan_files(table => '{table}')",
     ]

@@ -282,11 +282,13 @@ class ManifestParquetSink(Sink):
 
         keep_files = set().union(*(data_files(m) for m in retained))
         drop_files = set().union(*(data_files(m) for m in expired)) - keep_files
-        for f in sorted(drop_files):
-            if os.path.exists(f):
-                os.remove(f)
-        # sever the chain at the oldest retained snapshot, then drop the
-        # expired manifests
+        # METADATA FIRST, file deletion LAST (Iceberg's expire order): sever
+        # the chain at the oldest retained snapshot and drop the expired
+        # manifests BEFORE removing any data file. A crash mid-pass then
+        # leaves only unreferenced orphan files (remove_orphan_files
+        # reclaims them) — never a still-listed snapshot whose files are
+        # gone, which would turn time travel into an unreadable
+        # FileNotFoundError instead of the designed loud ValueError.
         oldest = dict(retained[0])
         oldest["parent"] = None
         path = self._manifest_path(oldest["snapshot_id"])
@@ -298,6 +300,9 @@ class ManifestParquetSink(Sink):
             p = self._manifest_path(m["snapshot_id"])
             if os.path.exists(p):
                 os.remove(p)
+        for f in sorted(drop_files):
+            if os.path.exists(f):
+                os.remove(f)
         return {"expired_snapshots": len(expired), "deleted_files": len(drop_files)}
 
     def expire_changelog(self, older_than_day: str) -> dict[str, int]:
@@ -313,12 +318,10 @@ class ManifestParquetSink(Sink):
         dropped = {d: fl for d, fl in by_day.items() if d < older_than_day}
         if not dropped:
             return {"expired_days": 0, "deleted_files": 0}
-        n_files = 0
-        for fl in dropped.values():
-            for f in fl:
-                if os.path.exists(f):
-                    os.remove(f)
-                n_files += 1
+        # commit the dereferencing manifest FIRST, delete files LAST: a
+        # crash between the two leaves unreferenced orphans (reclaimable
+        # by remove_orphan_files), never a current manifest pointing at
+        # removed files (which would break read_changelog until a re-run)
         self._commit_manifest(
             {
                 **{k: m[k] for k in ("epoch_id", "max_gtid_seq", "business_columns", "buckets", "lineage", "registry")},
@@ -328,7 +331,108 @@ class ManifestParquetSink(Sink):
                 "maintenance": f"expire_changelog(<{older_than_day})",
             }
         )
+        n_files = 0
+        for fl in dropped.values():
+            for f in fl:
+                if os.path.exists(f):
+                    os.remove(f)
+                n_files += 1
         return {"expired_days": len(dropped), "deleted_files": n_files}
+
+    def rewrite_data_files(self, min_files_per_bucket: int = 2) -> dict[str, int]:
+        """Iceberg ``rewrite_data_files`` analogue — compaction for the
+        grow-forever CoW surface: every MERGE leaves one file set per
+        touched bucket, so a long-running stream accumulates many small
+        files per bucket until scans pay per-file open costs. This rewrites
+        each bucket holding >= ``min_files_per_bucket`` files into ONE file
+        and commits a maintenance snapshot referencing the compacted set.
+
+        Iceberg-shaped guarantees:
+
+        * reads are byte-equal before and after (same rows, same columns —
+          rows read through the current schema, so pre-DDL NULLs bake in
+          exactly as a read would surface them);
+        * the commit does NOT advance ``epoch_id`` — the fence is a
+          data-progress marker and compaction must not mask a replayed
+          epoch;
+        * the OLD files are NOT deleted — prior snapshots still reference
+          them (time travel stays intact); ``expire_snapshots`` reclaims
+          them once no retained snapshot references them, exactly like
+          Iceberg's expire-after-rewrite flow."""
+        m = self.current_manifest()
+        todo = {
+            b: fl for b, fl in m["buckets"].items() if len(fl) >= min_files_per_bucket
+        }
+        if not todo:
+            return {"compacted_buckets": 0, "files_before": 0, "files_after": 0}
+        snap = m["snapshot_id"] + 1
+        out_dir = os.path.join(self.root, "data", f"s{snap:06d}")
+        read_schema = self._schema(m)
+        buckets = dict(m["buckets"])
+        files_before = sum(len(fl) for fl in todo.values())
+        for b, fl in todo.items():
+            bdir = os.path.join(out_dir, f"_bucket={b}")
+            # drop("_bucket"): it is a hive partition value in the layout,
+            # never stored inside the files (matches merge's write shape)
+            self.spark.read.schema(read_schema).parquet(*fl).drop("_bucket").coalesce(
+                1
+            ).write.mode("overwrite").parquet(bdir)
+            buckets[b] = [
+                os.path.join(bdir, fn)
+                for fn in sorted(os.listdir(bdir))
+                if fn.endswith(".parquet")
+            ]
+        self._commit_manifest(
+            {
+                **{k: m[k] for k in ("epoch_id", "max_gtid_seq", "business_columns", "lineage", "registry")},
+                "snapshot_id": snap,
+                "parent": m["snapshot_id"],
+                "buckets": buckets,
+                "changelog_files": self._changelog_by_day(m.get("changelog_files", {})),
+                "maintenance": f"rewrite_data_files(>={min_files_per_bucket})",
+            }
+        )
+        return {
+            "compacted_buckets": len(todo),
+            "files_before": files_before,
+            "files_after": sum(len(buckets[b]) for b in todo),
+        }
+
+    def remove_orphan_files(self) -> dict[str, int]:
+        """Iceberg ``remove_orphan_files`` analogue: delete every data /
+        changelog file under the table root referenced by NO retained
+        manifest. Orphans are the designed residue of a crash between a
+        maintenance pass's metadata commit and its file deletions (both
+        expire ops commit metadata first) and of task retries that wrote
+        files never committed. Metadata is untouched — this only reclaims
+        storage.
+
+        Reference scope mirrors each surface's read paths: DATA files are
+        live if any retained snapshot lists them (time travel reads the
+        whole chain); CHANGELOG files only if the CURRENT manifest's
+        day map lists them (read_changelog reads only that — there is no
+        changelog time travel, and expire_changelog's dereference would
+        otherwise be undone by stale parent-manifest references)."""
+        referenced: set[str] = set()
+        for m in self.snapshots():
+            referenced.update(f for fl in m["buckets"].values() for f in fl)
+        cur = self.current_manifest()
+        for fl in self._changelog_by_day(cur.get("changelog_files", {})).values():
+            referenced.update(fl)
+        deleted = 0
+        for sub in ("data", "changelog"):
+            base = os.path.join(self.root, sub)
+            if not os.path.isdir(base):
+                continue
+            for dirpath, _dirs, files in os.walk(base, topdown=False):
+                for fn in files:
+                    p = os.path.join(dirpath, fn)
+                    if fn.endswith(".parquet") and p not in referenced:
+                        os.remove(p)
+                        deleted += 1
+                if not os.listdir(dirpath):
+                    os.rmdir(dirpath)
+        return {"deleted_files": deleted}
 
     # -- schema evolution ----------------------------------------------------
     def evolve_schema(self, business_columns: list[tuple[str, str]], registry: list[dict] | None = None) -> None:

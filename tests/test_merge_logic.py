@@ -150,11 +150,16 @@ def test_iceberg_maintenance_statement_text():
         "lake.repos", retain_last=5, changelog_older_than_day="20240101"
     )
     assert got == [
+        "CALL spark_catalog.system.rewrite_data_files(table => 'lake.repos', "
+        "options => map('min-input-files', '2'))",
         "CALL spark_catalog.system.expire_snapshots(table => 'lake.repos', retain_last => 5)",
         "CALL spark_catalog.system.remove_orphan_files(table => 'lake.repos')",
         "DELETE FROM lake.repos_changelog WHERE day_utc < '20240101'",
     ]
-    assert len(maintenance_statements("lake.repos")) == 2  # no changelog bound
+    # compaction must come FIRST: expire afterwards reclaims the rewritten
+    # small files once no retained snapshot references them
+    assert len(maintenance_statements("lake.repos")) == 3  # no changelog bound
+    assert len(maintenance_statements("lake.repos", compact=False)) == 2
 
 
 def test_iceberg_resume_protocol_two_epochs_with_alter():

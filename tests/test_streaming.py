@@ -465,3 +465,129 @@ def test_dry_run_writes_nothing(spark, binlog_dir, tmp_path_factory):
     assert len(sink.snapshots()) == 1  # only the empty initial snapshot
     assert sink.read().count() == 0
     assert len(job.metrics) == N_EPOCHS
+
+
+def test_rewrite_data_files_compaction(spark, tmp_path):
+    """Compaction (Iceberg rewrite_data_files analogue): multi-part bucket
+    file sets collapse to one file per bucket in a maintenance commit that
+    is byte-equal on read, leaves the epoch fence alone, and keeps prior
+    snapshots readable (old files reclaimed only by expire_snapshots)."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import Row
+
+    from mysql_time_machine_spark.operators.reassemble import COLLAPSED_SCHEMA
+    from mysql_time_machine_spark.sinks.manifest import ManifestParquetSink
+
+    sink = ManifestParquetSink(spark, str(tmp_path / "sink_cmp"), n_buckets=4)
+
+    def batch(n0, n1):
+        rows = [
+            Row(repo="o", path=f"k{i:03d}", row_status="I",
+                image={"commit": "c", "lang": "py", "content": f"x{i}"},
+                full_image=True, gtid_seq=i, schema_version=1,
+                updated_ts=dt.datetime(2024, 1, 1))
+            for i in range(n0, n1)
+        ]
+        # many write tasks -> several part files per bucket dir
+        return spark.createDataFrame(rows, COLLAPSED_SCHEMA).repartition(8)
+
+    assert sink.merge(batch(0, 40), epoch_id=1)
+    m1 = sink.current_manifest()
+    assert any(len(fl) > 1 for fl in m1["buckets"].values())  # fragmented
+    before = sorted((r["path"], r["content"]) for r in sink.read().collect())
+    epoch_before = m1["epoch_id"]
+
+    stats = sink.rewrite_data_files()
+    assert stats["compacted_buckets"] > 0
+    assert stats["files_after"] == stats["compacted_buckets"]  # 1 file each
+    assert stats["files_before"] > stats["files_after"]
+
+    m2 = sink.current_manifest()
+    assert m2["epoch_id"] == epoch_before  # fence untouched
+    assert m2["maintenance"].startswith("rewrite_data_files")
+    assert all(len(fl) == 1 for fl in m2["buckets"].values())
+    assert sorted((r["path"], r["content"]) for r in sink.read().collect()) == before
+    # prior snapshot still time-travelable: compaction deleted nothing
+    assert sorted(
+        (r["path"], r["content"]) for r in sink.snapshot_as_of(m1["snapshot_id"]).collect()
+    ) == before
+
+    # second pass is a no-op (already 1 file per bucket)
+    assert sink.rewrite_data_files() == {
+        "compacted_buckets": 0, "files_before": 0, "files_after": 0,
+    }
+
+    # a later epoch merges on top of the compacted layout
+    assert sink.merge(batch(100, 104), epoch_id=2)
+    assert sink.read().count() == 44
+    # expire reclaims the pre-compaction small files; reads unaffected
+    pre_compaction = {f for fl in m1["buckets"].values() for f in fl}
+    sink.expire_snapshots(keep_last=2)
+    current_files = {f for fl in sink.current_manifest()["buckets"].values() for f in fl}
+    for f in pre_compaction - current_files:
+        assert not os.path.exists(f)
+    assert sink.read().count() == 44
+
+
+def test_remove_orphan_files_and_expire_crash_ordering(spark, tmp_path, monkeypatch):
+    """Maintenance crash consistency: expire commits the dereferencing
+    manifest BEFORE deleting files, so a crash mid-deletion leaves only
+    orphans (reads stay healthy) and remove_orphan_files reclaims them
+    without touching referenced files."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import Row
+
+    from mysql_time_machine_spark.operators.reassemble import COLLAPSED_SCHEMA
+    from mysql_time_machine_spark.sinks.manifest import ManifestParquetSink
+
+    sink = ManifestParquetSink(spark, str(tmp_path / "sink_orph"), n_buckets=2)
+    cl_schema = (
+        "repo string, path string, op string, gtid_seq long, log_file string, "
+        "log_pos long, ts timestamp, schema_version int, day_utc string"
+    )
+    for epoch, (gtid, day) in enumerate([(10, "20240101"), (20, "20240102")], start=1):
+        b = spark.createDataFrame(
+            [Row(repo="o", path=f"k{gtid}", row_status="I",
+                 image={"commit": "c", "lang": "py", "content": "x"}, full_image=True,
+                 gtid_seq=gtid, schema_version=1, updated_ts=dt.datetime(2024, 1, 1))],
+            COLLAPSED_SCHEMA,
+        )
+        cl = spark.createDataFrame(
+            [("o", f"k{gtid}", "I", gtid, "binlog.000001", gtid,
+              dt.datetime(2024, 1, epoch), 1, day)],
+            cl_schema,
+        )
+        assert sink.merge(b, epoch_id=epoch, changelog=cl)
+
+    doomed = sink.changelog_files_for("20240101")
+    assert doomed
+
+    # crash INSIDE the deletion loop (after the metadata commit)
+    real_remove = os.remove
+    with monkeypatch.context() as mp:
+        def boom(path):
+            raise OSError(f"injected crash deleting {path}")
+        mp.setattr(os, "remove", boom)
+        import pytest as _pytest
+        with _pytest.raises(OSError, match="injected crash"):
+            sink.expire_changelog(older_than_day="20240102")
+
+    # the manifest ALREADY dereferences the doomed files: reads healthy,
+    # the undeleted files are mere orphans on disk
+    assert sink.changelog_files_for("20240101") == []
+    assert list(sink.read_changelog().toPandas()["day_utc"]) == ["20240102"]
+    assert all(os.path.exists(f) for f in doomed)  # crash left them behind
+
+    stats = sink.remove_orphan_files()
+    assert stats["deleted_files"] >= len(doomed)
+    assert all(not real_remove or not os.path.exists(f) for f in doomed)
+    # every referenced file survived; reads byte-identical
+    for m in sink.snapshots():
+        for fl in m["buckets"].values():
+            assert all(os.path.exists(f) for f in fl)
+    assert list(sink.read_changelog().toPandas()["day_utc"]) == ["20240102"]
+    assert sink.read().count() == 2

@@ -740,3 +740,110 @@ def test_exact_dedup_stream_parquet_sink_incremental(spark, tmp_path):
     final = snap(exact_dedup_stream(spark, src, max_files_per_trigger=1, sink_dir=sink))
     assert final == snap(exact_dedup(spark.read.parquet(src)))
     assert not [t.name for t in spark.catalog.listTables() if t.name.startswith("dedup_stream_")]
+
+
+def test_exact_dedup_stream_bucket_cow_bounded(spark, tmp_path):
+    """Rewrite amplification is bounded: with buckets >> per-batch keys
+    (the documented sizing rule), a small incremental drop rewrites ONLY
+    the buckets its keys hash to — every other bucket's files are
+    byte-identical afterwards."""
+    import hashlib
+    import os
+
+    from mysql_time_machine_spark.operators.dedup import exact_dedup, exact_dedup_stream
+
+    src = str(tmp_path / "drops")
+    sink = str(tmp_path / "sink")
+    spark.createDataFrame(
+        [Row(doc_id=i, text=f"seed-{i}") for i in range(20)]
+    ).coalesce(1).write.mode("append").parquet(src)
+    exact_dedup_stream(spark, src, max_files_per_trigger=1, sink_dir=sink)
+
+    store = os.path.join(sink, "store")
+
+    def file_hashes():
+        out = {}
+        for dirpath, _d, files in os.walk(store):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    p = os.path.join(dirpath, fn)
+                    with open(p, "rb") as f:
+                        out[p] = hashlib.md5(f.read()).hexdigest()
+        return out
+
+    before = file_hashes()
+    assert len({os.path.dirname(p) for p in before}) <= 20  # <= one bucket per key
+
+    # a 2-key drop: one brand-new text, one duplicate of an existing text
+    spark.createDataFrame(
+        [Row(doc_id=100, text="brand-new"), Row(doc_id=101, text="seed-3")]
+    ).coalesce(1).write.mode("append").parquet(src)
+    got = sorted(
+        (r["text_md5"], r["canonical_id"], r["n_copies"])
+        for r in exact_dedup_stream(
+            spark, src, max_files_per_trigger=1, sink_dir=sink
+        ).collect()
+    )
+    assert got == sorted(
+        (r["text_md5"], r["canonical_id"], r["n_copies"])
+        for r in exact_dedup(spark.read.parquet(src)).collect()
+    )
+
+    after = file_hashes()
+    changed_dirs = {
+        os.path.dirname(p)
+        for p in set(before) | set(after)
+        if before.get(p) != after.get(p)
+    }
+    # 2 keys -> at most 2 bucket partitions rewritten; untouched buckets
+    # carry byte-identical files
+    assert 1 <= len(changed_dirs) <= 2
+    untouched = [p for p in before if os.path.dirname(p) not in changed_dirs]
+    assert untouched and all(after.get(p) == before[p] for p in untouched)
+
+
+def test_exact_dedup_stream_resume_adopts_stored_buckets(spark, tmp_path):
+    """The store layout bakes in n_buckets: a resume passing a DIFFERENT
+    value must adopt the persisted one (_store_meta.json) — otherwise
+    existing keys land in wrong bucket dirs and duplicate silently."""
+    import json
+    import os
+
+    from mysql_time_machine_spark.operators.dedup import exact_dedup, exact_dedup_stream
+
+    src = str(tmp_path / "drops")
+    sink = str(tmp_path / "sink")
+    spark.createDataFrame(
+        [Row(doc_id=i, text=f"t-{i % 5}") for i in range(10)]
+    ).coalesce(1).write.mode("append").parquet(src)
+    exact_dedup_stream(spark, src, sink_dir=sink, n_buckets=4)
+    with open(os.path.join(sink, "_store_meta.json")) as f:
+        assert json.load(f)["n_buckets"] == 4
+
+    spark.createDataFrame(
+        [Row(doc_id=20, text="t-0"), Row(doc_id=21, text="t-9")]
+    ).coalesce(1).write.mode("append").parquet(src)
+    # resume with a conflicting value: stored 4 wins, no duplicate rows
+    got = sorted(
+        (r["text_md5"], r["canonical_id"], r["n_copies"])
+        for r in exact_dedup_stream(spark, src, sink_dir=sink, n_buckets=64).collect()
+    )
+    assert got == sorted(
+        (r["text_md5"], r["canonical_id"], r["n_copies"])
+        for r in exact_dedup(spark.read.parquet(src)).collect()
+    )
+    with open(os.path.join(sink, "_store_meta.json")) as f:
+        assert json.load(f)["n_buckets"] == 4
+
+
+def test_exact_dedup_stream_empty_source_schema_follows_id_type(spark, tmp_path):
+    """Zero-data source with STRING doc ids: the empty result's schema
+    must match what a non-empty run would produce (canonical_id string),
+    not a hardcoded long."""
+    from mysql_time_machine_spark.operators.dedup import exact_dedup_stream
+
+    src = str(tmp_path / "empty_drops")
+    spark.createDataFrame([], "doc_id string, text string").write.parquet(src)
+    out = exact_dedup_stream(spark, src, sink_dir=str(tmp_path / "sink"))
+    assert out.count() == 0
+    assert dict(out.dtypes)["canonical_id"] == "string"
