@@ -40,6 +40,14 @@ class EngineConfig:
     hot_key_threshold: int = 500_000
     #: sub-salt fan-out for detected hot keys (slices per hot key)
     hot_key_split: int = 8
+    #: byte-aware Arrow batch sizing for the Python collapse kernels: the
+    #: reference allows unbounded cell sizes (CHANGES.txt:109-110) while
+    #: arrow.maxRecordsPerBatch counts ROWS, so the engine estimates the
+    #: event payload width (batch replay: bounded sample; streaming: free
+    #: rider on the per-epoch stats aggregate) and caps records-per-batch
+    #: near SPARK_GRAFT_ARROW_TARGET_BYTES. Narrow rows keep the measured
+    #: 100k ceiling — zero change on normal workloads.
+    auto_arrow_batch: bool = True
 
     # --- sink behaviour ----------------------------------------------------
     #: dry-run: run the full pipeline, skip all writes (CHANGES.txt:43)

@@ -70,6 +70,30 @@ def classify_event(op: Column | str = "op", ddl: Column | str = "ddl") -> Column
     )
 
 
+def event_payload_bytes(
+    before: Column | str = "before", after: Column | str = "after"
+) -> Column:
+    """Approximate wire width of one row event's payload: summed cell
+    string lengths of both images plus a fixed envelope. Feeds the
+    byte-aware Arrow batch cap (session.tune_arrow_batch_for_width) so
+    multi-MB blob cells (CHANGES.txt:109-110, no max cell size) shrink
+    the pandas-kernel batch instead of the executor. Pure Catalyst
+    higher-order functions — no Python."""
+
+    def _map_bytes(c):
+        c = F.col(c) if isinstance(c, str) else c
+        return F.coalesce(
+            F.aggregate(
+                F.map_values(c),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + F.coalesce(F.length(x), F.lit(0)).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+        )
+
+    return _map_bytes(before) + _map_bytes(after) + F.lit(200)
+
+
 # ---------------------------------------------------------------------------
 # P7 — changed-cells projection: for UPDATE events store only cells where
 # before != after (CHANGES.txt:173). Pure map_filter, no Python.

@@ -51,6 +51,22 @@ def replay_batch(
     if impl == "auto":
         impl = cfg.resolved_collapse_impl("batch")
     ev = filter_events(events, cfg)
+    if impl in ("pandas", "sorted") and cfg.auto_arrow_batch:
+        # byte-aware Arrow batch cap for the Python kernels: estimate the
+        # payload width from a bounded sample (limit() stops the scan
+        # early) so multi-MB cells (no-max-cell-size rule) shrink the
+        # batch instead of the executor; narrow rows keep the measured
+        # 100k ceiling — same plan, same perf
+        from mysql_time_machine_spark.functions.core import event_payload_bytes
+        from mysql_time_machine_spark.session import tune_arrow_batch_for_width
+
+        est = (
+            ev.limit(2048)
+            .agg(F.avg(event_payload_bytes()).alias("w"))
+            .head()["w"]
+        )
+        if est is not None:
+            tune_arrow_batch_for_width(ev.sparkSession, int(est))
     if impl == "pandas":
         collapsed = collapse_events_pandas(ev, n_buckets=cfg.shuffle_partitions * 2)
     elif impl == "sorted":

@@ -14,6 +14,24 @@ import os
 from pyspark.sql import SparkSession
 
 
+def tune_arrow_batch_for_width(spark: SparkSession, est_row_bytes: int) -> int:
+    """Byte-aware Arrow batch sizing — the guard the 100k-row default
+    needs under the reference's no-max-cell-size rule
+    (/root/reference/CHANGES.txt:109-110, multi-MB blob cells):
+    ``arrow.maxRecordsPerBatch`` counts ROWS, so 100k rows of multi-MB
+    ``content`` would assemble a hundreds-of-GB Arrow batch in one Python
+    worker. Given an estimated payload width, cap records-per-batch so a
+    batch stays near SPARK_GRAFT_ARROW_TARGET_BYTES (default 128 MiB),
+    clamped to [16, SPARK_GRAFT_ARROW_BATCH]. Narrow rows keep the 100k
+    ceiling (measured optimal, BENCH/SORTED_PAIRB_r4.md); fat rows shrink
+    the batch instead of the executor. Returns the applied value."""
+    target = int(os.environ.get("SPARK_GRAFT_ARROW_TARGET_BYTES", str(128 << 20)))
+    ceiling = int(os.environ.get("SPARK_GRAFT_ARROW_BATCH", "100000"))
+    n = max(16, min(ceiling, target // max(1, int(est_row_bytes))))
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(n))
+    return n
+
+
 def get_spark(
     app_name: str = "mysql-time-machine-spark",
     master: str | None = None,

@@ -100,14 +100,32 @@ class ApplyJob:
                 # stateful upstream ops (txn buffer timeouts) can emit empty
                 # micro-batches; don't burn a snapshot commit on them
                 return
+            impl = cfg.resolved_collapse_impl("streaming")
             # (A3/A5) event-level metrics: consumed counts by class + max
-            # replication delay, excluding ROTATE's ts=0 (CHANGES.txt:58-61)
-            stats = batch.groupBy("_class").agg(
+            # replication delay, excluding ROTATE's ts=0 (CHANGES.txt:58-61).
+            # When a Python collapse kernel is active, the payload-width
+            # estimate for the byte-aware Arrow batch cap rides the SAME
+            # aggregate — no extra pass over the micro-batch.
+            want_width = cfg.auto_arrow_batch and impl in ("pandas", "sorted")
+            aggs = [
                 F.count("*").alias("n"),
                 F.max(F.when(F.col("_class") != "ROTATE", F.col("ts"))).alias("max_ts"),
                 F.max("gtid_seq").alias("max_gtid"),
-            ).collect()
+            ]
+            if want_width:
+                from mysql_time_machine_spark.functions.core import event_payload_bytes
+
+                aggs.append(F.avg(event_payload_bytes()).alias("avg_row_bytes"))
+            stats = batch.groupBy("_class").agg(*aggs).collect()
             events_consumed = {r["_class"]: r["n"] for r in stats}
+            if want_width:
+                from mysql_time_machine_spark.session import tune_arrow_batch_for_width
+
+                est = next(
+                    (r["avg_row_bytes"] for r in stats if r["_class"] == "ROW"), None
+                )
+                if est is not None:
+                    tune_arrow_batch_for_width(self.spark, int(est))
 
             # (J0) DDL -> active schema; driver-side control flow, tiny
             ddls = (
@@ -145,7 +163,6 @@ class ApplyJob:
             # 'auto' resolves to the sorted kernel here: micro-batches are
             # fixed-cost-bound and it runs the smallest per-batch plan
             # (see EngineConfig.collapse_impl for the measured basis)
-            impl = cfg.resolved_collapse_impl("streaming")
             if impl == "sql":
                 from mysql_time_machine_spark.operators.reassemble import collapse_events_sql
 
