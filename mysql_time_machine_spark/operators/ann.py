@@ -109,6 +109,26 @@ def seed_centroids(
     )
 
 
+def _guard_seedable(embeddings: DataFrame, nlist: int, vec_col: str, op: str) -> None:
+    """Fail fast with actionable errors instead of an opaque TypeError on
+    empty input or silently-duplicated centroids on low-cardinality
+    input: seeding nlist centers needs >= nlist distinct vectors (one
+    narrow countDistinct over a 64-bit vector hash)."""
+    if nlist < 1:
+        raise ValueError(f"{op}: nlist must be >= 1, got {nlist}")
+    n_distinct = embeddings.agg(
+        F.countDistinct(F.xxhash64(F.col(vec_col))).alias("n")
+    ).head()["n"]
+    if n_distinct == 0:
+        raise ValueError(f"{op}: embeddings is empty")
+    if n_distinct < nlist:
+        raise ValueError(
+            f"{op}: only {n_distinct} distinct vectors for nlist={nlist}; "
+            "every extra center would duplicate an existing one — lower "
+            "nlist or add data"
+        )
+
+
 def seed_centroids_pp(
     embeddings: DataFrame,
     nlist: int = 8,
@@ -128,9 +148,11 @@ def seed_centroids_pp(
     across engines), so the unrolled SQL twin reproduces the seeds
     bit-for-bit. Cost: nlist narrow passes (broadcast centers + map-side
     partial max + TakeOrdered(1)) — a one-time index-build step; at
-    extreme nlist use k-means||-style oversampling instead. Centroid ids
-    are the pick order 0..nlist-1."""
+    extreme nlist use ``seed_centroids_parallel`` (k-means||-style
+    oversampling, O(log nlist) passes). Centroid ids are the pick order
+    0..nlist-1."""
     spark = embeddings.sparkSession
+    _guard_seedable(embeddings, nlist, vec_col, "seed_centroids_pp")
     first = (
         embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
         .orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
@@ -153,6 +175,152 @@ def seed_centroids_pp(
         )
         chosen.append((k, [float(x) for x in nxt["_v"]]))
     return spark.createDataFrame(chosen, "centroid_id int, centroid_vec array<float>")
+
+
+def seed_centroids_parallel(
+    embeddings: DataFrame,
+    nlist: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    oversample: int | None = None,
+    rounds: int | None = None,
+) -> DataFrame:
+    """k-means||-style seeding (Bahmani et al. 2012, "Scalable k-means++")
+    for large nlist, where ``seed_centroids_pp``'s nlist sequential driver
+    round-trips become the bottleneck: O(log nlist) DISTRIBUTED passes
+    each sample ~``oversample`` candidates with probability proportional
+    to their cost (cosine distance to the already-chosen pool), then the
+    pool — control-plane-sized, ~oversample x rounds — is reduced to
+    nlist centers driver-side by cluster-size-WEIGHTED greedy
+    farthest-first (the paper reclusters the weighted pool with
+    k-means++; the maximin rule is its deterministic counterpart, same
+    shape ``seed_centroids_pp`` uses).
+
+    Determinism without RNG: the Bernoulli draw for point x in round r
+    uses u = md5(x.id ':' r) mapped to [0,1) — a reproducible hash draw,
+    the same trick the row-key salt uses (CHANGES.txt:102-104). Iterative
+    (log rounds + a weighting pass), so like ``kmeans_centroids`` it has
+    no single-SQL oracle; pytest covers determinism, quality vs
+    first-nlist seeding, and agreement of pass count with O(log nlist).
+    Centroid ids are the pick order 0..nlist-1."""
+    import math
+
+    spark = embeddings.sparkSession
+    _guard_seedable(embeddings, nlist, vec_col, "seed_centroids_parallel")
+    l = oversample or 2 * nlist
+    n_rounds = rounds or max(1, math.ceil(math.log2(max(2, nlist))))
+
+    first = (
+        embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
+        .limit(1)
+        .head()
+    )
+    first_id = first["_id"]
+    pool: dict = {first_id: [float(x) for x in first["_v"]]}
+
+    def _pool_df():
+        return F.broadcast(
+            spark.createDataFrame(
+                [(v,) for _k, v in sorted(pool.items())], "centroid_vec array<float>"
+            )
+        )
+
+    def _scored():
+        return (
+            embeddings.crossJoin(_pool_df())
+            .groupBy(id_col)
+            .agg(
+                F.any_value(vec_col).alias("_v"),
+                F.greatest(
+                    F.lit(0.0),
+                    F.lit(1.0) - F.max(cosine(F.col(vec_col), F.col("centroid_vec"))),
+                ).alias("_cost"),
+            )
+        )
+
+    for r in range(n_rounds):
+        scored = _scored().persist()
+        try:
+            phi = scored.agg(F.sum("_cost")).head()[0] or 0.0
+            if phi <= 0:  # every point coincides with the pool already
+                break
+            u = (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{r}"))),
+                        1,
+                        12,
+                    ),
+                    16,
+                    10,
+                ).cast("double")
+                / F.lit(float(16**12))
+            )
+            picked = (
+                scored.where(u < F.lit(float(l)) * F.col("_cost") / F.lit(phi))
+                .select(id_col, "_v")
+                .collect()
+            )
+        finally:
+            scored.unpersist()
+        for row in picked:
+            pool.setdefault(row[id_col], [float(x) for x in row["_v"]])
+
+    if len(pool) < nlist:
+        # sampling undershot (tiny data / low oversample): exact top-up —
+        # the (nlist - pool) farthest points, one deterministic pass
+        extra = (
+            _scored()
+            .orderBy(F.desc("_cost"), F.asc(id_col))
+            .limit(nlist - len(pool))
+            .collect()
+        )
+        for row in extra:
+            pool.setdefault(row[id_col], [float(x) for x in row["_v"]])
+
+    # weight candidates by the population they attract, then reduce
+    cand_ids = sorted(pool)
+    cand_df = spark.createDataFrame(
+        [(i, pool[k]) for i, k in enumerate(cand_ids)],
+        "centroid_id long, centroid_vec array<float>",
+    )
+    counts = {
+        r["centroid_id"]: r["n"]
+        for r in _assign(embeddings, cand_df, id_col, vec_col)
+        .groupBy("centroid_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+
+    import numpy as np
+
+    vecs = np.array([pool[k] for k in cand_ids], dtype="float64")
+    norms = np.linalg.norm(vecs, axis=1)
+    norms[norms == 0] = 1.0
+    unit = vecs / norms[:, None]
+    w = np.array([counts.get(i, 0) for i in range(len(cand_ids))], dtype="float64")
+
+    anchor = cand_ids.index(first_id)  # the md5-ordered global first pick
+    chosen = [anchor]
+    max_cos = unit @ unit[anchor]
+    while len(chosen) < nlist:
+        cost = np.maximum(0.0, 1.0 - max_cos)
+        score = w * cost
+        score[chosen] = -1.0
+        nxt = int(np.argmax(score))  # np.argmax: first (lowest idx) on ties
+        if score[nxt] <= 0:
+            raise ValueError(
+                "seed_centroids_parallel: candidate pool collapsed to "
+                f"{len(chosen)} distinct centers (< nlist={nlist}); raise "
+                "oversample/rounds"
+            )
+        chosen.append(nxt)
+        max_cos = np.maximum(max_cos, unit @ unit[nxt])
+    return spark.createDataFrame(
+        [(k, [float(x) for x in vecs[i]]) for k, i in enumerate(chosen)],
+        "centroid_id int, centroid_vec array<float>",
+    )
 
 
 def kmeans_centroids(

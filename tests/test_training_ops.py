@@ -847,3 +847,80 @@ def test_exact_dedup_stream_empty_source_schema_follows_id_type(spark, tmp_path)
     out = exact_dedup_stream(spark, src, sink_dir=str(tmp_path / "sink"))
     assert out.count() == 0
     assert dict(out.dtypes)["canonical_id"] == "string"
+
+
+def test_seed_centroids_parallel_quality_and_determinism(spark):
+    """k-means||-style seeding at nlist=32: deterministic across calls,
+    quality at least matching first-nlist seeding, and the pass count is
+    O(log nlist) (rounds + weighting), not nlist driver round-trips."""
+    from mysql_time_machine_spark.functions.similarity import cosine
+    from mysql_time_machine_spark.operators.ann import (
+        seed_centroids,
+        seed_centroids_parallel,
+    )
+
+    # 32 well-separated one-hot directions x 12 jittered members each;
+    # low ids all in cluster 0 (the pathological first-nlist ordering)
+    dim = 32
+
+    def vec(axis, i):
+        v = [0.0] * dim
+        v[axis] = 1.0
+        v[(axis + 7) % dim] = 0.01 * ((i * 13) % 5)
+        return v
+
+    rows = [(i, vec(0, i)) for i in range(12)]
+    rows += [(100 + a * 12 + i, vec(a, i)) for a in range(32) for i in range(12)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    s1 = seed_centroids_parallel(emb, nlist=32)
+    s2 = seed_centroids_parallel(emb, nlist=32)
+    assert sorted(map(tuple, s1.collect())) == sorted(map(tuple, s2.collect()))
+    assert s1.count() == 32
+
+    def quality(cents):
+        return (
+            emb.crossJoin(F.broadcast(cents))
+            .groupBy("vec_id")
+            .agg(F.max(cosine("embedding", "centroid_vec")).alias("mc"))
+            .agg(F.avg("mc"))
+            .head()[0]
+        )
+
+    q_par = quality(s1)
+    q_first = quality(seed_centroids(emb, nlist=32))
+    assert q_par > q_first + 0.1  # covers the 32 clusters; first-nlist can't
+    # the oversampled pool covers (nearly) every cluster: with 2*nlist
+    # samples per round over log2(32)=5 rounds, assignment quality should
+    # be near-perfect on this separable layout
+    assert q_par > 0.97
+
+
+def test_seed_centroids_guards(spark):
+    """ADVICE round-4: empty input and nlist > distinct vectors must fail
+    fast with clear errors (both seeders), not TypeError / silent dupes."""
+    import pytest as _pytest
+
+    from mysql_time_machine_spark.operators.ann import (
+        seed_centroids_parallel,
+        seed_centroids_pp,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with _pytest.raises(ValueError, match="empty"):
+        seed_centroids_pp(empty, nlist=2)
+    with _pytest.raises(ValueError, match="empty"):
+        seed_centroids_parallel(empty, nlist=2)
+
+    # 5 rows, only 2 distinct vectors
+    few = spark.createDataFrame(
+        [(i, [1.0, 0.0] if i % 2 else [0.0, 1.0]) for i in range(5)],
+        "vec_id long, embedding array<float>",
+    )
+    with _pytest.raises(ValueError, match="distinct"):
+        seed_centroids_pp(few, nlist=3)
+    with _pytest.raises(ValueError, match="distinct"):
+        seed_centroids_parallel(few, nlist=3)
+    # exactly-enough passes
+    assert seed_centroids_pp(few, nlist=2).count() == 2
+    assert seed_centroids_parallel(few, nlist=2).count() == 2
