@@ -1,19 +1,23 @@
 """Two-parallelism scaling evidence for the STREAMING apply path —
-including the v2 transaction buffer (applyInPandasWithState + Arrow state
-codec), which BENCH/scaling.py's batch-replay job never exercises.
+including the transaction buffer (round-5 default: the JVM-side
+foreachBatch pending store, streaming/txn_store.py), which
+BENCH/scaling.py's batch-replay job never exercises.
 
 Protocol mirrors scaling.py: the SAME binlog directory replayed through
 ApplyJob at local[N] and local[4N] (default pair A: 2,8 — the better
 multi-node proxy on one socket), fresh JVM per run, identical shuffle
 partitioning and bucket count at both levels, interleaved rounds,
-per-level best-of. Two legs per level:
+per-level best-of. Three legs per level, ALL over gtid-quantile-cut
+epoch files (binlog order — SURVEY ST2):
 
-* plain    — txn-atomic epoch files, buffer OFF (the v1 path)
-* buffered — BEGIN/COMMIT-marked multi-row transactions, files cut on
-  gtid boundaries so transactions straddle micro-batches, buffer ON
+* plain      — marker-free one-row-txn log, buffer OFF (the v1 path)
+* marked_off — BEGIN/COMMIT-marked multi-row txns, buffer OFF (the
+  same-INPUT control for the buffer's overhead)
+* marked_on  — the same marked log, buffer ON: transactions straddle
+  micro-batch boundaries and the pending store is on the measured path
 
-Writes BENCH/STREAM_SCALING_r4.md with throughput at both levels, the
-N->4N efficiency per leg, and the buffered/plain overhead ratio.
+Writes BENCH/STREAM_SCALING_r5.md with throughput at both levels, the
+N->4N efficiency per leg, and the buffered/marked_off overhead ratio.
 
 Usage:
     python BENCH/stream_scaling.py                      # orchestrate
@@ -106,16 +110,14 @@ def main() -> int:
     spark = get_spark("mtm-stream-scaling-gen", master="local[32]")
     ev = amplified_events(spark, SF_DIR, AMPLIFY)
     n_ep = 4
-    _write_binlog_files(
-        spark, ev, tmp, os.path.join(tmp, "binlog"), n_ep, F.pmod(F.col("txn_id"), n_ep)
-    )
-    ev_marked = with_txn_markers(ev, txn_width=TXN_WIDTH)
     bounds = ev.approxQuantile("gtid_seq", [i / n_ep for i in range(1, n_ep)], 0.001)
     file_of = F.lit(0)
     for b in bounds:
         file_of = file_of + (F.col("gtid_seq") > F.lit(b)).cast("int")
+    _write_binlog_files(spark, ev, tmp, os.path.join(tmp, "binlog"), n_ep, file_of)
+    ev_marked = with_txn_markers(ev, txn_width=TXN_WIDTH)
     _write_binlog_files(
-        spark, ev_marked, tmp, os.path.join(tmp, "binlog_buffered"), n_ep, file_of
+        spark, ev_marked, tmp, os.path.join(tmp, "binlog_marked"), n_ep, file_of
     )
     spark.stop()
     print(f"binlog dirs under {tmp}")
@@ -123,7 +125,11 @@ def main() -> int:
     best: dict[tuple, dict] = {}
     for _ in range(ROUNDS):
         for cpus in LEVELS:
-            for leg, sub in (("plain", "binlog"), ("buffered", "binlog_buffered")):
+            for leg, sub, buf in (
+                ("plain", "binlog", "0"),
+                ("marked_off", "binlog_marked", "0"),
+                ("marked_on", "binlog_marked", "1"),
+            ):
                 env = dict(
                     os.environ,
                     SPARK_DRIVER_MEMORY=os.environ.get("SPARK_DRIVER_MEMORY", "32g"),
@@ -131,7 +137,7 @@ def main() -> int:
                 out = subprocess.run(
                     [
                         sys.executable, os.path.abspath(__file__), "--child",
-                        str(cpus), os.path.join(tmp, sub), "1" if leg == "buffered" else "0",
+                        str(cpus), os.path.join(tmp, sub), buf,
                     ],
                     capture_output=True, text=True, cwd=REPO, timeout=3600, env=env,
                 )
@@ -142,25 +148,27 @@ def main() -> int:
                 if key not in best or r["wall_sec"] < best[key]["wall_sec"]:
                     best[key] = r
 
-    rows_match = best[("plain", LEVELS[0])]["final_rows"] == best[("buffered", LEVELS[0])]["final_rows"]
+    rows_match = len(
+        {best[(leg, LEVELS[0])]["final_rows"] for leg in ("plain", "marked_off", "marked_on")}
+    ) == 1
     lines = [
-        "# BENCH/STREAM_SCALING_r4.md — streaming apply scaling (incl. txn buffer)",
+        "# BENCH/STREAM_SCALING_r5.md — streaming apply scaling (incl. txn buffer)",
         "",
         f"Input: sql-mode log over {SF_DIR}, amplify x{AMPLIFY} =",
         f"{best[('plain', LEVELS[0])]['row_events']:,} row events, replayed through",
         f"ApplyJob (AvailableNow, {PARTITIONS} shuffle partitions/buckets at BOTH",
         f"levels, fresh JVM per run, {ROUNDS} interleaved rounds, per-cell best).",
-        "The buffered leg streams BEGIN/COMMIT-marked transactions of",
-        f"{TXN_WIDTH} rows whose epoch files are cut on gtid boundaries, so",
-        "transactions straddle micro-batches and every row passes through",
-        "applyInPandasWithState with the Arrow-IPC state codec. The buffer's",
-        "cost is per-TRANSACTION (one stateful group call per txn per touching",
-        "micro-batch), so buffered events/sec scales with transaction size.",
+        "All legs stream gtid-quantile-cut epoch files (binlog order). The",
+        f"marked legs carry BEGIN/COMMIT-wrapped {TXN_WIDTH}-row transactions that",
+        "straddle micro-batch boundaries; marked_on resolves them with the",
+        "JVM pending store (txn_buffer_impl='jvm': one narrow id-set",
+        "aggregate per epoch + pushed-down isin routing, zero Python on the",
+        "event path).",
         "",
         "| leg | local[{}] (N) | ev/s | local[{}] (4N) | ev/s | eff N->4N |".format(*LEVELS),
         "|---|---|---|---|---|---|",
     ]
-    for leg in ("plain", "buffered"):
+    for leg in ("plain", "marked_off", "marked_on"):
         a, b = best[(leg, LEVELS[0])], best[(leg, LEVELS[1])]
         eff = (b["events_per_sec"] / a["events_per_sec"]) / (LEVELS[1] / LEVELS[0])
         lines.append(
@@ -168,17 +176,17 @@ def main() -> int:
             f"| {b['wall_sec']}s | {b['events_per_sec']:,} | {eff:.2f} |"
         )
     ovh = (
-        best[("buffered", LEVELS[1])]["wall_sec"] / best[("plain", LEVELS[1])]["wall_sec"]
+        best[("marked_on", LEVELS[1])]["wall_sec"]
+        / best[("marked_off", LEVELS[1])]["wall_sec"]
     )
     lines += [
         "",
-        f"Buffered/plain wall overhead at local[{LEVELS[1]}]: {ovh:.2f}x "
-        f"(buffer input additionally carries ~20% marker events).",
-        f"Final-table parity across legs: {'YES' if rows_match else 'NO'} "
+        f"Buffered/unbuffered wall overhead on the SAME input at local[{LEVELS[1]}]: {ovh:.2f}x.",
+        f"Final-table parity across all three legs: {'YES' if rows_match else 'NO'} "
         "(identical row counts — the buffer releases exactly the committed transactions).",
     ]
     md = "\n".join(lines) + "\n"
-    with open(os.path.join(REPO, "BENCH", "STREAM_SCALING_r4.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", "STREAM_SCALING_r5.md"), "w") as f:
         f.write(md)
     print(md)
     return 0

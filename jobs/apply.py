@@ -13,8 +13,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# plain `python jobs/apply.py` puts jobs/ (not the repo root) on sys.path;
+# spark-submit ships the package via --py-files. Support both.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -34,8 +39,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--binlog-format", default="parquet", choices=("parquet", "json"))
     p.add_argument("--buffer-transactions", action="store_true",
                    help="cross-batch uuidBuffer (files may split transactions)")
+    p.add_argument("--txn-buffer-impl", default="jvm", choices=("jvm", "state"),
+                   help="jvm = foreachBatch pending store (default, zero Python on the "
+                        "event path); state = applyInPandasWithState operator")
     p.add_argument("--txn-abandon-timeout", default=None,
                    help="event-time bound evicting BEGIN-without-COMMIT state, e.g. '2 hours'")
+    p.add_argument("--timeout-sec", type=float, default=3600,
+                   help="bound for the AvailableNow drain; raises TimeoutError (checkpoint "
+                        "stays consistent; re-run resumes) instead of silently truncating")
     p.add_argument("--hot-key-threshold", type=int, default=500_000)
     p.add_argument("--hot-key-split", type=int, default=8)
     p.add_argument("--collapse-impl", default="auto",
@@ -60,6 +71,7 @@ def main(argv: list[str] | None = None) -> int:
         fail_epochs=frozenset(int(x) for x in args.fail_epochs.split(",") if x),
         binlog_format=args.binlog_format,
         buffer_transactions=args.buffer_transactions,
+        txn_buffer_impl=args.txn_buffer_impl,
         txn_abandon_timeout=args.txn_abandon_timeout,
         hot_key_threshold=args.hot_key_threshold,
         hot_key_split=args.hot_key_split,
@@ -69,7 +81,7 @@ def main(argv: list[str] | None = None) -> int:
     job = ApplyJob(spark, args.binlog_dir, sink, cfg, checkpoint_dir=args.checkpoint)
 
     t0 = time.time()
-    job.run_available()
+    job.run_available(timeout_sec=args.timeout_sec)
     wall = time.time() - t0
 
     m = sink.current_manifest()

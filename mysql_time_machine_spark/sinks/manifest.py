@@ -481,7 +481,8 @@ class ManifestParquetSink(Sink):
         batch = batch.withColumn("_bucket", salted_shuffle_key(self.n_buckets))
         batch.persist()
         try:
-            touched = sorted(r["_bucket"] for r in batch.select("_bucket").distinct().collect())
+            # one control-plane job: the per-bucket stats aggregate already
+            # enumerates every touched bucket — no separate distinct scan
             stats_rows = (
                 batch.groupBy("_bucket")
                 .agg(
@@ -492,6 +493,7 @@ class ManifestParquetSink(Sink):
                 )
                 .collect()
             )
+            touched = sorted(r["_bucket"] for r in stats_rows)
 
             out_dir = os.path.join(self.root, "data", f"s{snap:06d}")
             new_schema = self._schema({"business_columns": business_columns})
