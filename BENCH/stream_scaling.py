@@ -47,6 +47,8 @@ ROUNDS = int(os.environ.get("SPARK_GRAFT_ROUNDS", "2"))
 TXN_WIDTH = int(os.environ.get("SPARK_GRAFT_TXN_WIDTH", "10"))
 #: identical physical plan at both levels
 PARTITIONS = 64
+#: comma-sep subset of plain,marked_off,marked_on (default: all three)
+LEGS = tuple(os.environ.get("SPARK_GRAFT_LEGS", "plain,marked_off,marked_on").split(","))
 
 
 def child(cpus: int, binlog_dir: str, buffered: bool) -> None:
@@ -114,11 +116,13 @@ def main() -> int:
     file_of = F.lit(0)
     for b in bounds:
         file_of = file_of + (F.col("gtid_seq") > F.lit(b)).cast("int")
-    _write_binlog_files(spark, ev, tmp, os.path.join(tmp, "binlog"), n_ep, file_of)
-    ev_marked = with_txn_markers(ev, txn_width=TXN_WIDTH)
-    _write_binlog_files(
-        spark, ev_marked, tmp, os.path.join(tmp, "binlog_marked"), n_ep, file_of
-    )
+    if "plain" in LEGS:
+        _write_binlog_files(spark, ev, tmp, os.path.join(tmp, "binlog"), n_ep, file_of)
+    if "marked_off" in LEGS or "marked_on" in LEGS:
+        ev_marked = with_txn_markers(ev, txn_width=TXN_WIDTH)
+        _write_binlog_files(
+            spark, ev_marked, tmp, os.path.join(tmp, "binlog_marked"), n_ep, file_of
+        )
     spark.stop()
     print(f"binlog dirs under {tmp}")
 
@@ -130,6 +134,8 @@ def main() -> int:
                 ("marked_off", "binlog_marked", "0"),
                 ("marked_on", "binlog_marked", "1"),
             ):
+                if leg not in LEGS:
+                    continue
                 env = dict(
                     os.environ,
                     SPARK_DRIVER_MEMORY=os.environ.get("SPARK_DRIVER_MEMORY", "32g"),
@@ -149,7 +155,7 @@ def main() -> int:
                     best[key] = r
 
     rows_match = len(
-        {best[(leg, LEVELS[0])]["final_rows"] for leg in ("plain", "marked_off", "marked_on")}
+        {best[(leg, LEVELS[0])]["final_rows"] for leg in LEGS}
     ) == 1
     lines = [
         "# BENCH/STREAM_SCALING_r5.md — streaming apply scaling (incl. txn buffer)",
@@ -168,20 +174,23 @@ def main() -> int:
         "| leg | local[{}] (N) | ev/s | local[{}] (4N) | ev/s | eff N->4N |".format(*LEVELS),
         "|---|---|---|---|---|---|",
     ]
-    for leg in ("plain", "marked_off", "marked_on"):
+    for leg in LEGS:
         a, b = best[(leg, LEVELS[0])], best[(leg, LEVELS[1])]
         eff = (b["events_per_sec"] / a["events_per_sec"]) / (LEVELS[1] / LEVELS[0])
         lines.append(
             f"| {leg} | {a['wall_sec']}s | {a['events_per_sec']:,} "
             f"| {b['wall_sec']}s | {b['events_per_sec']:,} | {eff:.2f} |"
         )
-    ovh = (
-        best[("marked_on", LEVELS[1])]["wall_sec"]
-        / best[("marked_off", LEVELS[1])]["wall_sec"]
-    )
+    lines += [""]
+    if "marked_on" in LEGS and "marked_off" in LEGS:
+        ovh = (
+            best[("marked_on", LEVELS[1])]["wall_sec"]
+            / best[("marked_off", LEVELS[1])]["wall_sec"]
+        )
+        lines += [
+            f"Buffered/unbuffered wall overhead on the SAME input at local[{LEVELS[1]}]: {ovh:.2f}x.",
+        ]
     lines += [
-        "",
-        f"Buffered/unbuffered wall overhead on the SAME input at local[{LEVELS[1]}]: {ovh:.2f}x.",
         f"Final-table parity across all three legs: {'YES' if rows_match else 'NO'} "
         "(identical row counts — the buffer releases exactly the committed transactions).",
     ]

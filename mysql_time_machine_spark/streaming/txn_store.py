@@ -20,11 +20,12 @@ narrow aggregate plus pushed-down filters, entirely JVM-side:
 
 1. union the micro-batch with the (tiny) pending-fragment store left by
    the previous epoch;
-2. ONE column-pruned job collects the control-plane id sets — all txn
-   ids, the committed subset, and the event-time high-water mark — from
-   a (txn_id, op, ts)-only scan; ``open = all - committed`` is driver
-   set algebra (ids per micro-batch are thousands; if a deployment's
-   batches carry millions of transactions, shrink maxFilesPerTrigger);
+2. ONE column-pruned job: a distributed ``groupBy(txn_id)`` partial
+   aggregate (map-side combined; the exchange carries one narrow row
+   per txn) finds each transaction's commit presence and last activity,
+   and the final fold hands the driver the event-time high-water mark
+   plus ONLY the open (straddling) transactions' ids — driver state is
+   proportional to straddlers, never to the batch's txn count;
 3. released rows = ``txn_id NOT IN open`` — in the overwhelmingly common
    case every transaction is batch-complete, ``open`` is EMPTY and the
    row events pass through UNTOUCHED (no filter, no join, no extra scan:
@@ -160,36 +161,42 @@ class TxnPendingStore:
                     spark.read.schema(EVENT_SCHEMA).parquet(self._snap_path(prev_epoch))
                 )
 
-        # ONE narrow, column-pruned control-plane job: all txn ids, the
-        # committed subset, and the event-time high-water mark (markers
+        # ONE narrow, column-pruned control-plane job, FULLY distributed up
+        # to the last reduction: groupBy(txn_id) computes per-transaction
+        # commit presence + last activity with map-side partial aggregation
+        # (the exchange carries ~one row per txn, three narrow columns),
+        # then a final fold returns the event-time high-water mark (markers
         # carry real ts; ROTATE's ts=0 lives in the control branch and
-        # never drags the hwm). Transaction ids per micro-batch are
-        # control-plane-sized (thousands), so driver-side set algebra is
-        # free and the id sets route the payload with PUSHED-DOWN isin
-        # filters instead of joins.
-        agg = data.agg(
-            F.collect_set("txn_id").alias("all_ids"),
-            F.collect_set(F.when(F.col("op") == "COMMIT", F.col("txn_id"))).alias(
-                "committed_ids"
-            ),
-            F.max(F.unix_millis("ts")).alias("hwm"),
+        # never drags the hwm) plus ONLY the open transactions' (id, last
+        # activity) pairs. The driver therefore holds data proportional to
+        # boundary STRADDLERS — a handful — never to the micro-batch's
+        # transaction count (an earlier design collected every txn id and
+        # paid ~40 s/epoch of serial py4j at 315k txns/epoch, the dominant
+        # Amdahl term in BENCH/STREAM_SCALING_r5 round-1 cells).
+        per_txn = (
+            data.groupBy("txn_id")
+            .agg(
+                F.max((F.col("op") == "COMMIT").cast("int")).alias("_c"),
+                F.max(F.unix_millis("ts")).alias("_ts"),
+            )
+        )
+        agg = per_txn.agg(
+            F.max("_ts").alias("hwm"),
+            F.collect_list(
+                F.when(F.col("_c") == 0, F.struct(F.col("txn_id"), F.col("_ts")))
+            ).alias("open"),
         ).head()
         hwm = max(prev_hwm, agg["hwm"] or 0)
-        open_ids = sorted(set(agg["all_ids"]) - set(agg["committed_ids"]))
+        open_last = {r["txn_id"]: r["_ts"] for r in agg["open"]}
+        open_ids = sorted(open_last)
 
         rows = data.where(F.col("op").isin("I", "U", "D"))
         alive_ids = open_ids
         if self.timeout_ms is not None and open_ids:
             # the clear-on-rotate analogue: a txn whose last activity fell
             # abandon_timeout behind the stream's clock is dropped whole
-            last = (
-                rows.where(F.col("txn_id").isin(open_ids))
-                .groupBy("txn_id")
-                .agg(F.max(F.unix_millis("ts")).alias("_last"))
-                .collect()
-            )
             alive_ids = sorted(
-                r["txn_id"] for r in last if r["_last"] >= hwm - self.timeout_ms
+                t for t, last in open_last.items() if last >= hwm - self.timeout_ms
             )
 
         # commit snapshot N: fragments first, meta second (a crash between

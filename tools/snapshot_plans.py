@@ -129,6 +129,18 @@ def main() -> int:
         "constant plan size; <=100 versions stays a codegen'd CASE fold)",
         stamp_schema_version(ev.select("gtid_seq"), big_reg),
     ))
+    import tempfile
+
+    from bench import with_txn_markers
+    from mysql_time_machine_spark.streaming.txn_store import TxnPendingStore
+
+    store = TxnPendingStore(tempfile.mkdtemp(prefix="plan_txnstore_"))
+    out.append(cap(
+        "txn pending-store resolve (jvm buffer: committed-id routing via "
+        "pushed-down isin / broadcast join; batch-complete rows pass "
+        "through with NO added operator when nothing straddles)",
+        store.resolve(with_txn_markers(ev, txn_width=10), epoch_id=0),
+    ))
     # minhash runs eagerly (stages + unpersists); snapshot the staged read's
     # provenance note instead of forcing a full run at snapshot time
     out.append(
