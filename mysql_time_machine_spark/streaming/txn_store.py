@@ -150,16 +150,17 @@ class TxnPendingStore:
         spark = batch.sparkSession
         cols = [f.name for f in EVENT_SCHEMA.fields]
 
-        control = batch.where(F.col("txn_id") == -1).select(*cols)
         data = batch.where(F.col("txn_id") != -1).select(*cols)
         prev = self._latest_before(epoch_id)
         prev_hwm = 0
+        pend_prev = None
         if prev is not None:
             prev_epoch, prev_hwm = prev
             if os.path.isdir(self._snap_path(prev_epoch)):
-                data = data.unionByName(
-                    spark.read.schema(EVENT_SCHEMA).parquet(self._snap_path(prev_epoch))
+                pend_prev = spark.read.schema(EVENT_SCHEMA).parquet(
+                    self._snap_path(prev_epoch)
                 )
+                data = data.unionByName(pend_prev)
 
         # ONE narrow, column-pruned control-plane job, FULLY distributed up
         # to the last reduction: groupBy(txn_id) computes per-transaction
@@ -236,10 +237,26 @@ class TxnPendingStore:
             shutil.rmtree(self._snap_path(e), ignore_errors=True)
             os.remove(self._meta_path(e))
 
+        # ONE scan emits released rows AND control events (a union of two
+        # filters over the same source would scan the micro-batch twice at
+        # downstream cache-fill); the tiny previous-pending side rides in
+        # by union only when it exists.
+        is_ctrl = F.col("txn_id") == -1
+        is_row = F.col("op").isin("I", "U", "D")
         if not open_ids:
-            released = rows
+            out = batch.where(is_ctrl | is_row).select(*cols)
+            if pend_prev is not None:
+                out = out.unionByName(pend_prev.where(is_row))
         elif use_join:
-            released = rows.join(_ids_df(open_ids), "txn_id", "left_anti")
+            rows_b = batch.where(is_row & ~is_ctrl).select(*cols)
+            if pend_prev is not None:
+                rows_b = rows_b.unionByName(pend_prev.where(is_row))
+            out = rows_b.join(_ids_df(open_ids), "txn_id", "left_anti").unionByName(
+                batch.where(is_ctrl).select(*cols)
+            )
         else:
-            released = rows.where(~F.col("txn_id").isin(open_ids))
-        return released.unionByName(control)
+            not_open = ~F.col("txn_id").isin(open_ids)
+            out = batch.where(is_ctrl | (is_row & not_open)).select(*cols)
+            if pend_prev is not None:
+                out = out.unionByName(pend_prev.where(is_row & not_open))
+        return out
