@@ -32,6 +32,22 @@ def tune_arrow_batch_for_width(spark: SparkSession, est_row_bytes: int) -> int:
     return n
 
 
+def ensure_default_arrow_batch(spark: SparkSession) -> int:
+    """Re-apply the default Arrow batch ceiling. ``maxRecordsPerBatch`` is
+    session-global and read at EXECUTION time, so a fat-row tune (above)
+    would otherwise stay sticky and silently shrink batches for every
+    later pandas-UDF workload in the session. Scoping protocol: the
+    streaming job restores the ceiling after each micro-batch (execution
+    completes inside the batch); the narrow-row ANN top-k kernel
+    re-applies it at entry (multimodal instead re-TUNES via its
+    batch_size_hint — media blobs are the fat-row case). Batch replay's
+    tune intentionally persists until its lazy plan executes; run replay
+    plans before building unrelated pandas plans in the same session."""
+    ceiling = int(os.environ.get("SPARK_GRAFT_ARROW_BATCH", "100000"))
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(ceiling))
+    return ceiling
+
+
 def get_spark(
     app_name: str = "mysql-time-machine-spark",
     master: str | None = None,

@@ -56,6 +56,15 @@ class ManifestParquetSink(Sink):
     ):
         from mysql_time_machine_spark.schema import BASE_COLUMNS
 
+        scheme = root.split("://", 1)[0] if "://" in root else None
+        if scheme not in (None, "file"):
+            raise ValueError(
+                f"ManifestParquetSink root {root!r} has scheme {scheme!r}: "
+                "this sink mixes driver-local manifest IO with Spark parquet "
+                "IO and requires a driver-local path reachable by executors "
+                "(local mode or POSIX shared FS). On a DFS cluster use "
+                "IcebergSink — it is the production path."
+            )
         self.spark = spark
         self.root = root
         self.n_buckets = n_buckets
@@ -398,7 +407,7 @@ class ManifestParquetSink(Sink):
             "files_after": sum(len(buckets[b]) for b in todo),
         }
 
-    def remove_orphan_files(self) -> dict[str, int]:
+    def remove_orphan_files(self, older_than_sec: float = 259_200.0) -> dict[str, int]:
         """Iceberg ``remove_orphan_files`` analogue: delete every data /
         changelog file under the table root referenced by NO retained
         manifest. Orphans are the designed residue of a crash between a
@@ -407,18 +416,28 @@ class ManifestParquetSink(Sink):
         files never committed. Metadata is untouched — this only reclaims
         storage.
 
+        ``older_than_sec`` is Iceberg's ``older_than`` guard (same 3-day
+        default): files whose mtime is within the window are SKIPPED, so a
+        concurrent merge / rewrite_data_files that has written files but
+        not yet committed its manifest cannot have them deleted out from
+        under the commit. Pass 0 only when no write can be in flight
+        (tests, an offline maintenance window).
+
         Reference scope mirrors each surface's read paths: DATA files are
         live if any retained snapshot lists them (time travel reads the
         whole chain); CHANGELOG files only if the CURRENT manifest's
         day map lists them (read_changelog reads only that — there is no
         changelog time travel, and expire_changelog's dereference would
         otherwise be undone by stale parent-manifest references)."""
+        import time as _time
+
         referenced: set[str] = set()
         for m in self.snapshots():
             referenced.update(f for fl in m["buckets"].values() for f in fl)
         cur = self.current_manifest()
         for fl in self._changelog_by_day(cur.get("changelog_files", {})).values():
             referenced.update(fl)
+        cutoff = _time.time() - older_than_sec
         deleted = 0
         for sub in ("data", "changelog"):
             base = os.path.join(self.root, sub)
@@ -427,7 +446,11 @@ class ManifestParquetSink(Sink):
             for dirpath, _dirs, files in os.walk(base, topdown=False):
                 for fn in files:
                     p = os.path.join(dirpath, fn)
-                    if fn.endswith(".parquet") and p not in referenced:
+                    if (
+                        fn.endswith(".parquet")
+                        and p not in referenced
+                        and os.path.getmtime(p) <= cutoff
+                    ):
                         os.remove(p)
                         deleted += 1
                 if not os.listdir(dirpath):

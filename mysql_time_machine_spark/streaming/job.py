@@ -95,6 +95,7 @@ class ApplyJob:
         batch = filter_events(batch, cfg)
         batch = batch.withColumn("_class", classify_event())
         batch.persist()
+        tuned_arrow = False
         try:
             if batch.isEmpty():
                 # stateful upstream ops (txn buffer timeouts) can emit empty
@@ -126,6 +127,7 @@ class ApplyJob:
                 )
                 if est is not None:
                     tune_arrow_batch_for_width(self.spark, int(est))
+                    tuned_arrow = True
 
             # (J0) DDL -> active schema; driver-side control flow, tiny
             ddls = (
@@ -200,6 +202,13 @@ class ApplyJob:
             self.metrics.append({"epoch_id": epoch_id, **lineage, "committed": committed})
         finally:
             batch.unpersist()
+            if tuned_arrow:
+                # the kernels executed inside this batch (merge forces the
+                # plan); restore the ceiling so a fat-row epoch's tune never
+                # leaks into other pandas workloads on the shared session
+                from mysql_time_machine_spark.session import ensure_default_arrow_batch
+
+                ensure_default_arrow_batch(self.spark)
 
     # -- wiring -----------------------------------------------------------------
     def stream(self) -> DataFrame:

@@ -49,14 +49,31 @@ With bucket keying the per-txn bound is enforced two ways, both against
 the same condition (last buffered activity fell behind the watermark,
 which lags max event time by abandon_timeout):
 
-* a LAZY SWEEP at the start of every bucket call drops expired txns'
-  chunks before new work; and
+* a LAZY SWEEP in every bucket call drops expired txns' chunks — but
+  only AFTER this batch's COMMIT set is known: a transaction committing
+  in the same micro-batch its fragments expire in is PROTECTED from the
+  sweep and releases whole (an in-batch COMMIT always wins over
+  same-batch expiry — without the protection the sweep would drop the
+  buffered prior fragments and release a partial transaction); and
 * the bucket arms ``setTimeoutTimestamp`` at the OLDEST open txn's last
   activity, so a bucket that stops receiving events still gets a timeout
   callback — it sweeps and re-arms at the new oldest, until empty. A
   state timeout is the only mechanism that reaches a group with no new
   events; ROTATE lands in the control path (txn_id = -1), never in the
   abandoned transaction's bucket.
+
+EVICTED-THEN-COMMITTED (the pinned semantics, shared with the jvm
+pending store): eviction drops a transaction WHOLE — if its COMMIT (and
+any trailing fragments) arrive in a LATER micro-batch, they are dropped
+too, never applied as a partial transaction. The state carries a small
+grace set of evicted txn ids (parallel arrays ``ev_ids`` / ``ev_ms``,
+the watermark at eviction time); rows and COMMITs of those ids are
+discarded on arrival. A grace entry is retired when its COMMIT is seen
+(binlog delivery is in-order per ST2, so nothing of that txn can follow
+its COMMIT) or when the watermark advances ``abandon_timeout`` past the
+eviction point — a commit arriving later than BOTH bounds would apply
+its trailing fragments partially; size ``abandon_timeout`` above the
+producer's worst-case stall to keep that corner unreachable.
 
 Control events (DDL/ROTATE/snapshot rows at txn_id = -1, including
 ROTATE's ts=0 which must never be treated as late data) bypass the
@@ -92,10 +109,14 @@ from mysql_time_machine_spark.schema import EVENT_SCHEMA
 
 #: state: PARALLEL arrays — txn_ids[i] owns Arrow IPC chunk chunks[i]
 #: (one chunk per micro-batch that buffered rows for that txn) with max
-#: buffered event time ts_ns[i]. Bump STATE_FORMAT_VERSION on any change
-#: — existing checkpoints are incompatible (see module docstring).
-STATE_FORMAT_VERSION = 3
-STATE_SCHEMA = "txn_ids array<long>, chunks array<binary>, ts_ns array<long>"
+#: buffered event time ts_ns[i]; ev_ids[j]/ev_ms[j] is the evicted-id
+#: grace set (watermark ms at eviction). Bump STATE_FORMAT_VERSION on any
+#: change — existing checkpoints are incompatible (see module docstring).
+STATE_FORMAT_VERSION = 4
+STATE_SCHEMA = (
+    "txn_ids array<long>, chunks array<binary>, ts_ns array<long>, "
+    "ev_ids array<long>, ev_ms array<long>"
+)
 
 _MAP_COLS = ("before", "after")
 
@@ -156,7 +177,7 @@ def _txn_last_ms(txn_ids: list[int], ts_ns: list[int]) -> dict[int, int]:
     return last
 
 
-def _make_bucket_fn(evict: bool) -> Callable:
+def _make_bucket_fn(evict: bool, timeout_ms: int = 0) -> Callable:
     def _bucket_fn(
         key: tuple,
         pdfs: Iterator[pd.DataFrame],
@@ -164,48 +185,71 @@ def _make_bucket_fn(evict: bool) -> Callable:
     ) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in EVENT_SCHEMA.fields]
 
-        def load() -> tuple[list, list, list]:
+        def load() -> tuple[list, list, list, dict]:
             if state.exists:
-                t, c, n = state.get
-                return list(t), list(c), list(n)
-            return [], [], []
+                t, c, n, ei, em = state.get
+                return list(t), list(c), list(n), dict(zip(ei or [], em or []))
+            return [], [], [], {}
 
-        def sweep(t, c, n, wm):
+        def sweep(t, c, n, ev, wm, protect=frozenset()):
+            # retire grace entries the watermark has advanced timeout past
+            # (see module docstring: beyond this bound a straggler commit
+            # would partial-apply; size abandon_timeout accordingly)
+            for x in [x for x, ms in ev.items() if ms + timeout_ms < wm]:
+                del ev[x]
             # drop EVERY chunk of txns whose last activity fell behind the
-            # watermark — the stream advanced abandon_timeout past them
+            # watermark — the stream advanced abandon_timeout past them.
+            # ``protect`` = txns committing in THIS batch: an in-batch
+            # COMMIT wins over same-batch expiry (released whole instead)
             last = _txn_last_ms(t, n)
-            expired = {x for x, ms in last.items() if ms < wm}
+            expired = {x for x, ms in last.items() if ms < wm and x not in protect}
             if not expired:
                 return t, c, n
+            ev.update({x: wm for x in expired})  # drop-whole grace entries
             keep = [i for i, x in enumerate(t) if x not in expired]
             return [t[i] for i in keep], [c[i] for i in keep], [n[i] for i in keep]
 
-        def save(t, c, n):
-            if t:
-                state.update((t, c, n))
+        def save(t, c, n, ev):
+            if t or ev:
+                state.update((t, c, n, list(ev), [ev[x] for x in ev]))
                 if evict:
                     wm = state.getCurrentWatermarkMs()
-                    # arm at the OLDEST open txn's last activity: the
-                    # callback sweeps it (and any peers) and re-arms at the
-                    # new oldest. Must stay strictly above the watermark.
-                    state.setTimeoutTimestamp(max(min(_txn_last_ms(t, n).values()), wm + 1))
+                    # arm at the OLDEST open txn's last activity (or, with
+                    # only grace entries left, their earliest retirement):
+                    # the callback sweeps and re-arms at the new oldest.
+                    # Must stay strictly above the watermark.
+                    cand = (
+                        min(_txn_last_ms(t, n).values())
+                        if t
+                        else min(ev.values()) + timeout_ms
+                    )
+                    state.setTimeoutTimestamp(max(cand, wm + 1))
             elif state.exists:
                 state.remove()
 
         if evict and state.hasTimedOut:
             # no new events for this bucket; expire what the watermark passed
-            t, c, n = load()
-            t, c, n = sweep(t, c, n, state.getCurrentWatermarkMs())
-            save(t, c, n)
+            t, c, n, ev = load()
+            t, c, n = sweep(t, c, n, ev, state.getCurrentWatermarkMs())
+            save(t, c, n, ev)
             return
 
         batch = pd.concat(list(pdfs), ignore_index=True)
-        t, c, n = load()
-        if evict:
-            t, c, n = sweep(t, c, n, state.getCurrentWatermarkMs())
+        t, c, n, ev = load()
+        if ev:
+            # evicted-then-committed: everything of an evicted txn that
+            # arrives within the grace window is dropped whole; its COMMIT
+            # retires the grace entry (in-order delivery — nothing of the
+            # txn can follow its own COMMIT)
+            gone = set(batch.loc[batch["op"] == "COMMIT", "txn_id"]).intersection(ev)
+            batch = batch[~batch["txn_id"].isin(set(ev))]
+            for x in gone:  # retire AFTER filtering this batch's rows
+                del ev[x]
 
         rows = batch[batch["op"].isin(("I", "U", "D"))]
         commits = set(batch.loc[batch["op"] == "COMMIT", "txn_id"])
+        if evict:
+            t, c, n = sweep(t, c, n, ev, state.getCurrentWatermarkMs(), protect=commits)
 
         if commits:
             # the hybrid fast path: committed txns emit straight from the
@@ -229,7 +273,7 @@ def _make_bucket_fn(evict: bool) -> Callable:
                 t.append(int(x))
                 c.append(pdf_to_ipc(g[cols]))
                 n.append(int(ns.loc[g.index].max()))
-        save(t, c, n)
+        save(t, c, n, ev)
 
     return _bucket_fn
 
@@ -249,13 +293,15 @@ def buffer_transactions(
     cols = [f.name for f in EVENT_SCHEMA.fields]
     data = events.where(F.col("txn_id") != -1)
     control = events.where(F.col("txn_id") == -1)
+    timeout_ms = 0
     if abandon_timeout is not None:
         data = data.withWatermark("ts", abandon_timeout)
+        timeout_ms = int(pd.Timedelta(abandon_timeout).total_seconds() * 1000)
     buffered = (
         data.withColumn("_txn_bucket", F.pmod(F.col("txn_id"), F.lit(n_buckets)))
         .groupBy("_txn_bucket")
         .applyInPandasWithState(
-            _make_bucket_fn(evict=abandon_timeout is not None),
+            _make_bucket_fn(evict=abandon_timeout is not None, timeout_ms=timeout_ms),
             outputStructType=EVENT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",

@@ -58,6 +58,38 @@ activity fell more than the timeout behind the high-water mark are
 dropped from the new snapshot — same event-time bound the state-op
 variant enforces with ``GroupStateTimeout``, computed with one tiny
 aggregate instead of armed timers.
+
+EVICTED-THEN-COMMITTED (the pinned semantics, shared with the state-op
+variant): eviction drops a transaction WHOLE — if its COMMIT (and any
+trailing fragments) arrive in a LATER epoch, they are dropped too, never
+applied as a partial transaction. Each snapshot's meta carries a small
+grace set ``evicted: {txn_id: hwm_ms_at_eviction}``; rows and COMMITs of
+those ids are discarded on arrival. A grace entry is retired when its
+COMMIT is seen (binlog delivery is in-order per ST2 — nothing of a txn
+can follow its own COMMIT) or when the high-water mark advances
+``abandon_timeout`` past the eviction point. The set is capped at
+``CONTROL_CAP`` entries (meta is driver JSON); a commit arriving beyond
+both bounds, or for an id pushed out by the cap, applies its trailing
+fragments partially — size ``abandon_timeout`` above the producer's
+worst-case stall to keep that corner unreachable.
+
+DRIVER-STATE BOUNDS: the per-epoch control aggregate hands the driver at
+most ``CONTROL_CAP`` open-transaction structs (the collect is sliced in
+the plan, so the driver row is bounded even in the pathological batch
+where most transactions are open — e.g. a log truncated mid-backlog).
+Past the cap, the open set is SPILLED to a per-epoch parquet side file
+and all routing switches to joins against it: the driver then holds no
+ids at all, and the pending snapshot / release split runs as ordinary
+distributed semi/anti joins.
+
+FILESYSTEM REQUIREMENT: snapshot parquet is written/read by Spark
+(driver + executors) while meta JSON uses driver-local ``os``/``json``
+on the SAME root — so the root must be a driver-local path that
+executors can also reach: local[*] mode, or a POSIX-mounted shared
+filesystem (NFS) visible to every node. A root with a non-file URI
+scheme (hdfs://, s3a://, ...) raises ValueError at construction rather
+than silently corrupting pending state; a DFS deployment should use the
+'state' buffer impl (Spark-managed state store) instead.
 """
 
 from __future__ import annotations
@@ -77,6 +109,12 @@ from mysql_time_machine_spark.schema import EVENT_SCHEMA
 #: checkpoint (offsets replay; the sink fence absorbs it)
 PENDING_FORMAT_VERSION = 1
 
+#: ceiling on driver-held control state per epoch: open-txn structs
+#: fetched by the resolve aggregate, and grace-set entries in meta.
+#: Past it, the open set spills to a parquet side file and routing
+#: switches to distributed joins (see module docstring).
+CONTROL_CAP = 10_000
+
 
 class TxnPendingStore:
     """Epoch-keyed parquet store of boundary-straddling txn fragments."""
@@ -87,6 +125,15 @@ class TxnPendingStore:
         abandon_timeout: str | None = None,
         keep_last: int = 3,
     ):
+        scheme = root.split("://", 1)[0] if "://" in root else None
+        if scheme not in (None, "file"):
+            raise ValueError(
+                f"TxnPendingStore root {root!r} has scheme {scheme!r}: the "
+                "store mixes driver-local metadata IO with Spark parquet IO "
+                "and requires a driver-local path reachable by executors "
+                "(local mode or POSIX shared FS). On a DFS cluster use "
+                "txn_buffer_impl='state' instead."
+            )
         self.root = root
         self.keep_last = max(2, keep_last)  # N-1 must survive while N runs
         self.timeout_ms = (
@@ -110,8 +157,11 @@ class TxnPendingStore:
             if fn.startswith("meta-") and fn.endswith(".json")
         )
 
-    def _latest_before(self, epoch: int) -> tuple[int, int] | None:
-        """(epoch, hwm_ms) of the newest committed snapshot before ``epoch``
+    def _open_path(self, epoch: int) -> str:
+        return os.path.join(self.root, f"open-{epoch:09d}")
+
+    def _latest_before(self, epoch: int) -> tuple[int, dict] | None:
+        """(epoch, meta) of the newest committed snapshot before ``epoch``
         — the previous micro-batch's pending state (replay-stable: a
         replayed epoch N never sees its own crashed half-written N)."""
         prior = [e for e in self._epochs() if e < epoch]
@@ -119,7 +169,7 @@ class TxnPendingStore:
             return None
         e = prior[-1]
         with open(self._meta_path(e)) as f:
-            return e, json.load(f)["hwm_ms"]
+            return e, json.load(f)
 
     def pending_fragments(self, spark: SparkSession, epoch: int | None = None) -> DataFrame:
         """The still-open fragments as of snapshot ``epoch`` (default:
@@ -150,17 +200,43 @@ class TxnPendingStore:
         spark = batch.sparkSession
         cols = [f.name for f in EVENT_SCHEMA.fields]
 
-        data = batch.where(F.col("txn_id") != -1).select(*cols)
         prev = self._latest_before(epoch_id)
         prev_hwm = 0
         pend_prev = None
+        ev_prev: dict[int, int] = {}
         if prev is not None:
-            prev_epoch, prev_hwm = prev
+            prev_epoch, meta = prev
+            prev_hwm = meta["hwm_ms"]
+            ev_prev = {int(k): v for k, v in (meta.get("evicted") or {}).items()}
             if os.path.isdir(self._snap_path(prev_epoch)):
                 pend_prev = spark.read.schema(EVENT_SCHEMA).parquet(
                     self._snap_path(prev_epoch)
                 )
-                data = data.unionByName(pend_prev)
+
+        # evicted-then-committed drop-whole: anything of a grace-set txn is
+        # discarded on arrival (its COMMIT retires the entry below). The
+        # grace set is EMPTY in steady state — this branch costs nothing
+        # unless an eviction actually happened within the window.
+        ev_ids = sorted(ev_prev)
+        not_evicted = ~F.col("txn_id").isin(ev_ids) if ev_ids else F.lit(True)
+        data = batch.where((F.col("txn_id") != -1) & not_evicted).select(*cols)
+        if pend_prev is not None:
+            data = data.unionByName(pend_prev)  # never holds evicted ids
+        if ev_ids:
+            # retire grace entries whose COMMIT arrived (in-order delivery:
+            # nothing of a txn can follow its own COMMIT) — tiny pruned
+            # scan, only paid while the grace set is non-empty
+            gone = [
+                r["txn_id"]
+                for r in batch.where(
+                    (F.col("op") == "COMMIT") & F.col("txn_id").isin(ev_ids)
+                )
+                .select("txn_id")
+                .distinct()
+                .collect()
+            ]
+            for x in gone:
+                ev_prev.pop(x, None)
 
         # ONE narrow, column-pruned control-plane job, FULLY distributed up
         # to the last reduction: groupBy(txn_id) computes per-transaction
@@ -168,12 +244,15 @@ class TxnPendingStore:
         # (the exchange carries ~one row per txn, three narrow columns),
         # then a final fold returns the event-time high-water mark (markers
         # carry real ts; ROTATE's ts=0 lives in the control branch and
-        # never drags the hwm) plus ONLY the open transactions' (id, last
-        # activity) pairs. The driver therefore holds data proportional to
-        # boundary STRADDLERS — a handful — never to the micro-batch's
-        # transaction count (an earlier design collected every txn id and
-        # paid ~40 s/epoch of serial py4j at 315k txns/epoch, the dominant
-        # Amdahl term in BENCH/STREAM_SCALING_r5 round-1 cells).
+        # never drags the hwm), the open-transaction COUNT, and at most
+        # CONTROL_CAP open (id, last activity) structs — the slice runs in
+        # the plan, so the driver row is bounded even when most
+        # transactions are open (log truncated mid-backlog). The driver
+        # therefore holds data proportional to boundary STRADDLERS, capped
+        # — never to the micro-batch's transaction count (an earlier
+        # design collected every txn id and paid ~40 s/epoch of serial
+        # py4j at 315k txns/epoch, the dominant Amdahl term in
+        # BENCH/STREAM_SCALING_r5 round-1 cells).
         per_txn = (
             data.groupBy("txn_id")
             .agg(
@@ -181,82 +260,131 @@ class TxnPendingStore:
                 F.max(F.unix_millis("ts")).alias("_ts"),
             )
         )
-        agg = per_txn.agg(
-            F.max("_ts").alias("hwm"),
-            F.collect_list(
-                F.when(F.col("_c") == 0, F.struct(F.col("txn_id"), F.col("_ts")))
-            ).alias("open"),
-        ).head()
+        agg = (
+            per_txn.agg(
+                F.max("_ts").alias("hwm"),
+                F.count_if(F.col("_c") == 0).alias("n_open"),
+                F.collect_list(
+                    F.when(F.col("_c") == 0, F.struct(F.col("txn_id"), F.col("_ts")))
+                ).alias("open"),
+            )
+            .select("hwm", "n_open", F.slice("open", 1, CONTROL_CAP).alias("open"))
+            .head()
+        )
         hwm = max(prev_hwm, agg["hwm"] or 0)
-        open_last = {r["txn_id"]: r["_ts"] for r in agg["open"]}
-        open_ids = sorted(open_last)
+        n_open = agg["n_open"] or 0
+        spill = n_open > CONTROL_CAP
+        cut = None if self.timeout_ms is None else hwm - self.timeout_ms
 
         rows = data.where(F.col("op").isin("I", "U", "D"))
-        alive_ids = open_ids
-        if self.timeout_ms is not None and open_ids:
-            # the clear-on-rotate analogue: a txn whose last activity fell
-            # abandon_timeout behind the stream's clock is dropped whole
-            alive_ids = sorted(
-                t for t, last in open_last.items() if last >= hwm - self.timeout_ms
-            )
-
-        # commit snapshot N: fragments first, meta second (a crash between
-        # the two leaves no meta -> the snapshot does not exist yet and the
-        # replay rewrites it; meta is the commit point). The common case —
-        # every transaction batch-complete — writes NO snapshot and returns
-        # the row events UNFILTERED: zero added work on the released path.
         snap = self._snap_path(epoch_id)
-        # plan-size guard: isin compiles the id list into the plan — ideal
-        # for the steady-state handful of straddlers, wrong for a
-        # pathological batch where most transactions are open (e.g. a log
-        # truncated mid-backlog). Past the threshold, route with broadcast
-        # joins on an id DataFrame instead.
-        use_join = len(open_ids) > 10_000
+        is_ctrl = F.col("txn_id") == -1
+        is_row = F.col("op").isin("I", "U", "D")
+        ev_new: dict[int, int] = {}
 
-        def _ids_df(ids):
-            return F.broadcast(
-                spark.createDataFrame([(i,) for i in ids], "txn_id long")
-            )
+        if not spill:
+            # steady state: the open set is complete on the driver
+            open_last = {r["txn_id"]: r["_ts"] for r in agg["open"]}
+            open_ids = sorted(open_last)
+            alive_ids = open_ids
+            if cut is not None and open_ids:
+                # the clear-on-rotate analogue: a txn whose last activity
+                # fell abandon_timeout behind the stream's clock is dropped
+                # whole, and remembered in the grace set (drop-whole for
+                # any late COMMIT — see module docstring)
+                alive_ids = sorted(t for t, last in open_last.items() if last >= cut)
+                ev_new = {t: hwm for t in open_ids if t not in set(alive_ids)}
 
-        if alive_ids:
-            parked = (
-                rows.join(_ids_df(alive_ids), "txn_id", "left_semi")
-                if use_join
-                else rows.where(F.col("txn_id").isin(alive_ids))
+            # commit snapshot N: fragments first, meta second (a crash
+            # between the two leaves no meta -> the snapshot does not exist
+            # yet and the replay rewrites it; meta is the commit point).
+            # The common case — every transaction batch-complete — writes
+            # NO snapshot and returns the row events UNFILTERED: zero added
+            # work on the released path. isin compiles the (small, capped)
+            # id list into the plan as a pushed-down filter.
+            if alive_ids:
+                rows.where(F.col("txn_id").isin(alive_ids)).write.mode(
+                    "overwrite"
+                ).parquet(snap)
+            else:
+                shutil.rmtree(snap, ignore_errors=True)  # crashed half-write
+            self._commit_meta(epoch_id, hwm, ev_prev, ev_new)
+
+            # ONE scan emits released rows AND control events (a union of
+            # two filters over the same source would scan the micro-batch
+            # twice at downstream cache-fill); the tiny previous-pending
+            # side rides in by union only when it exists.
+            not_open = (
+                ~F.col("txn_id").isin(open_ids) if open_ids else F.lit(True)
             )
-            parked.write.mode("overwrite").parquet(snap)
-        else:
-            shutil.rmtree(snap, ignore_errors=True)  # crashed half-write of N
+            out = batch.where(is_ctrl | (is_row & not_evicted & not_open)).select(
+                *cols
+            )
+            if pend_prev is not None:
+                out = out.unionByName(pend_prev.where(is_row & not_open))
+            return out
+
+        # PATHOLOGICAL batch (most transactions open — e.g. a log truncated
+        # mid-backlog): spill the open set to a per-epoch parquet side file
+        # and route everything through distributed joins against it; the
+        # driver holds no ids at all.
+        open_path = self._open_path(epoch_id)
+        per_txn.where(F.col("_c") == 0).select("txn_id", "_ts").write.mode(
+            "overwrite"
+        ).parquet(open_path)
+        open_all = spark.read.parquet(open_path)
+        alive = open_all.where(F.col("_ts") >= cut) if cut is not None else open_all
+        if cut is not None:
+            # grace entries for evicted ids, capped: overflow ids lose
+            # drop-whole protection (documented; meta records the overflow)
+            evict_rows = (
+                open_all.where(F.col("_ts") < cut).limit(CONTROL_CAP + 1).collect()
+            )
+            ev_new = {r["txn_id"]: hwm for r in evict_rows[:CONTROL_CAP]}
+            if len(evict_rows) > CONTROL_CAP:
+                ev_new["_overflow"] = True  # marker, stripped in _commit_meta
+        parked = rows.join(alive.select("txn_id"), "txn_id", "left_semi")
+        parked.write.mode("overwrite").parquet(snap)
+        self._commit_meta(epoch_id, hwm, ev_prev, ev_new)
+
+        rows_b = batch.where(is_row & not_evicted).select(*cols)
+        if pend_prev is not None:
+            rows_b = rows_b.unionByName(pend_prev)
+        out = rows_b.join(
+            open_all.select("txn_id"), "txn_id", "left_anti"
+        ).unionByName(batch.where(is_ctrl).select(*cols))
+        return out
+
+    def _commit_meta(
+        self, epoch_id: int, hwm: int, ev_prev: dict, ev_new: dict
+    ) -> None:
+        """Atomic snapshot commit point (write-then-replace) + retention.
+        Merges surviving prior grace entries (hwm already advanced past
+        timeout+grace ones) with this epoch's evictions, capped at
+        CONTROL_CAP newest."""
+        overflow = bool(ev_new.pop("_overflow", False))
+        ev = dict(ev_prev)
+        if self.timeout_ms is not None:
+            # retire entries the hwm advanced a full timeout past: a COMMIT
+            # later than that applies partially (documented corner)
+            ev = {t: ms for t, ms in ev.items() if ms + self.timeout_ms >= hwm}
+        ev.update(ev_new)
+        if len(ev) > CONTROL_CAP:
+            keep = sorted(ev, key=lambda t: (-ev[t], t))[:CONTROL_CAP]
+            overflow = True
+            ev = {t: ev[t] for t in keep}
+        meta = {"epoch": epoch_id, "hwm_ms": int(hwm)}
+        if ev:
+            meta["evicted"] = {str(t): int(ms) for t, ms in ev.items()}
+        if overflow:
+            meta["evicted_overflow"] = True
         tmp = self._meta_path(epoch_id) + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"epoch": epoch_id, "hwm_ms": int(hwm)}, f)
+            json.dump(meta, f)
         os.replace(tmp, self._meta_path(epoch_id))
         # retention AFTER the commit: N-1 (this epoch's lazy input) always
         # survives; only snapshots no plan can still reference are removed
         for e in self._epochs()[: -self.keep_last]:
             shutil.rmtree(self._snap_path(e), ignore_errors=True)
+            shutil.rmtree(self._open_path(e), ignore_errors=True)
             os.remove(self._meta_path(e))
-
-        # ONE scan emits released rows AND control events (a union of two
-        # filters over the same source would scan the micro-batch twice at
-        # downstream cache-fill); the tiny previous-pending side rides in
-        # by union only when it exists.
-        is_ctrl = F.col("txn_id") == -1
-        is_row = F.col("op").isin("I", "U", "D")
-        if not open_ids:
-            out = batch.where(is_ctrl | is_row).select(*cols)
-            if pend_prev is not None:
-                out = out.unionByName(pend_prev.where(is_row))
-        elif use_join:
-            rows_b = batch.where(is_row & ~is_ctrl).select(*cols)
-            if pend_prev is not None:
-                rows_b = rows_b.unionByName(pend_prev.where(is_row))
-            out = rows_b.join(_ids_df(open_ids), "txn_id", "left_anti").unionByName(
-                batch.where(is_ctrl).select(*cols)
-            )
-        else:
-            not_open = ~F.col("txn_id").isin(open_ids)
-            out = batch.where(is_ctrl | (is_row & not_open)).select(*cols)
-            if pend_prev is not None:
-                out = out.unionByName(pend_prev.where(is_row & not_open))
-        return out

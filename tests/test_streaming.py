@@ -582,7 +582,11 @@ def test_remove_orphan_files_and_expire_crash_ordering(spark, tmp_path, monkeypa
     assert list(sink.read_changelog().toPandas()["day_utc"]) == ["20240102"]
     assert all(os.path.exists(f) for f in doomed)  # crash left them behind
 
-    stats = sink.remove_orphan_files()
+    # default grace window (Iceberg's older_than analogue): fresh files —
+    # possibly an in-flight uncommitted write — are NEVER deleted
+    assert sink.remove_orphan_files()["deleted_files"] == 0
+    assert all(os.path.exists(f) for f in doomed)
+    stats = sink.remove_orphan_files(older_than_sec=0)
     assert stats["deleted_files"] >= len(doomed)
     assert all(not real_remove or not os.path.exists(f) for f in doomed)
     # every referenced file survived; reads byte-identical

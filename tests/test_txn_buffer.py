@@ -244,3 +244,136 @@ def test_batch_complete_txns_bypass_state(spark, tmp_path_factory, impl):
         snap0 = job.txn_store.pending_fragments(spark, epoch=0)
         assert [r["txn_id"] for r in snap0.collect()] == [2]
         assert job.txn_store.pending_fragments(spark).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Pinned eviction semantics (round 6): in-batch COMMIT beats same-batch
+# expiry; evicted-then-committed transactions drop WHOLE (grace set)
+# ---------------------------------------------------------------------------
+
+
+def _write_epoch_files(spark, tmpdir: str, df: pd.DataFrame) -> str:
+    binlog = os.path.join(tmpdir, "binlog")
+    os.makedirs(binlog)
+    for e in sorted(df["epoch"].unique()):
+        sub = df[df["epoch"] == e].drop(columns=["epoch"])
+        sdf = spark.createDataFrame(sub, schema=EVENT_SCHEMA)
+        stage = os.path.join(tmpdir, f"s{e}")
+        sdf.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.copyfile(part, os.path.join(binlog, f"epoch-{e:03d}.parquet"))
+        time.sleep(0.05)
+    return binlog
+
+
+def _late_commit_log(advance_ts: list, commit_ts) -> pd.DataFrame:
+    """f0: committed seed txn1 on k0 + txn2 BEGIN + U k0 {lang: rust};
+    then one committed advance txn per entry of advance_ts (on k1); final
+    file: txn2 trailing U k0 {content: late} + its COMMIT at commit_ts."""
+    rows = []
+
+    def ev(epoch, op, g, txn, seq, repo=None, path=None, after=None, ddl=None, ts=None):
+        rows.append(dict(
+            log_file="binlog.000001", log_pos=g, gtid=f"u:{g}", gtid_seq=g,
+            txn_id=txn, seq_in_txn=seq, server_id=1,
+            ts=ts if ts is not None else T0 + pd.Timedelta(seconds=g),
+            op=op, schema_version=1, repo=repo, path=path,
+            before=None, after=after, ddl=ddl, epoch=epoch,
+        ))
+
+    ev(0, "BEGIN", 10, 1, 0, ddl="BEGIN")
+    ev(0, "I", 10, 1, 1, "o", "k0", {"commit": "c0", "lang": "py", "content": "base"})
+    ev(0, "COMMIT", 10, 1, 9, ddl="COMMIT")
+    ev(0, "BEGIN", 20, 2, 0, ddl="BEGIN")
+    ev(0, "U", 20, 2, 1, "o", "k0", {"lang": "rust"})  # buffered fragment
+    g = 30
+    for i, ts in enumerate(advance_ts):
+        txn = 3 + i
+        ev(1 + i, "BEGIN", g, txn, 0, ddl="BEGIN", ts=ts)
+        ev(1 + i, "I", g, txn, 1, "o", "k1", {"commit": "c1", "lang": "go", "content": f"a{i}"}, ts=ts)
+        ev(1 + i, "COMMIT", g, txn, 9, ddl="COMMIT", ts=ts)
+        g += 10
+    last = 1 + len(advance_ts)
+    ev(last, "U", g, 2, 2, "o", "k0", {"content": "late"}, ts=commit_ts)
+    ev(last, "COMMIT", g + 1, 2, 9, ddl="COMMIT", ts=commit_ts)
+    return pd.DataFrame(rows)
+
+
+def _run_buffered(spark, tmpdir, df, impl):
+    binlog = _write_epoch_files(spark, tmpdir, df)
+    cfg = EngineConfig(
+        max_files_per_trigger=1, shuffle_partitions=4, buffer_transactions=True,
+        txn_abandon_timeout="1 hour", write_changelog=False, txn_buffer_impl=impl,
+    )
+    sink = ManifestParquetSink(spark, os.path.join(tmpdir, "sink"))
+    job = ApplyJob(spark, binlog, sink, cfg, checkpoint_dir=os.path.join(tmpdir, "ckpt"))
+    job.run_available()
+    return sink, job
+
+
+def test_state_commit_wins_over_same_batch_expiry(spark, tmp_path_factory):
+    """State impl: txn2's buffered fragment falls behind the watermark in
+    the SAME micro-batch its COMMIT arrives in. The commit must win — the
+    transaction releases WHOLE (both its updates), not just the in-batch
+    tail (the partial-apply bug the round-6 sweep-protect fixes)."""
+    tmpdir = str(tmp_path_factory.mktemp("protect_state"))
+    d2 = T0 + pd.Timedelta(days=2)
+    df = _late_commit_log([d2], commit_ts=d2 + pd.Timedelta(minutes=10))
+    sink, _ = _run_buffered(spark, tmpdir, df, "state")
+    final = {r["path"]: r for r in sink.read().collect()}
+    # released whole: the buffered {lang: rust} AND the trailing {content: late}
+    assert final["k0"]["lang"] == "rust"
+    assert final["k0"]["content"] == "late"
+
+
+@pytest.mark.parametrize("impl", ["jvm", "state"])
+def test_evicted_then_committed_dropped_whole(spark, tmp_path_factory, impl):
+    """Pinned semantics: once a transaction is evicted by abandon_timeout,
+    a late COMMIT (plus trailing fragments) within the grace window is
+    dropped WHOLE — never applied as a partial transaction. Two advance
+    files put the eviction one micro-batch BEFORE the commit for both
+    impls (jvm evicts on same-batch hwm; the state op's watermark lags a
+    batch)."""
+    tmpdir = str(tmp_path_factory.mktemp(f"evictcommit_{impl}"))
+    d2 = T0 + pd.Timedelta(days=2)
+    df = _late_commit_log(
+        [d2, d2 + pd.Timedelta(minutes=10)],
+        commit_ts=d2 + pd.Timedelta(minutes=20),
+    )
+    sink, job = _run_buffered(spark, tmpdir, df, impl)
+    final = {r["path"]: r for r in sink.read().collect()}
+    # NOTHING of txn2 applied: not the buffered {lang: rust}, not the
+    # trailing {content: late}
+    assert final["k0"]["lang"] == "py"
+    assert final["k0"]["content"] == "base"
+    assert final["k1"]["content"] == "a1"
+    if impl == "jvm":
+        # fragments gone and the grace entry retired by the commit
+        assert job.txn_store.pending_fragments(spark).count() == 0
+        import json as _json
+
+        metas = sorted(
+            f for f in os.listdir(job.txn_store.root) if f.startswith("meta-")
+        )
+        with open(os.path.join(job.txn_store.root, metas[-1])) as fh:
+            assert _json.load(fh).get("evicted") in (None, {})
+
+
+def test_pending_store_rejects_dfs_root(tmp_path):
+    """The jvm pending store mixes driver-local metadata IO with Spark
+    parquet IO on one root: a non-file scheme must fail fast at
+    construction, not corrupt state at the first epoch."""
+    from mysql_time_machine_spark.streaming.txn_store import TxnPendingStore
+
+    with pytest.raises(ValueError, match="txn_buffer_impl='state'"):
+        TxnPendingStore("hdfs://nn:8020/tmp/pending")
+    with pytest.raises(ValueError, match="scheme"):
+        TxnPendingStore("s3a://bucket/pending")
+    TxnPendingStore(str(tmp_path / "ok"))  # local path: fine
+
+
+def test_manifest_sink_rejects_dfs_root(spark):
+    from mysql_time_machine_spark.sinks.manifest import ManifestParquetSink as MPS
+
+    with pytest.raises(ValueError, match="IcebergSink"):
+        MPS(spark, "s3a://bucket/lake/repos")
