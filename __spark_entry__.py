@@ -457,6 +457,26 @@ def _sim_kmeanspp_assign(spark, sf_dir):
     return assign_centroids(emb, nlist=8, centroids=cents).select("vec_id", "centroid_id")
 
 
+def _sim_kmeanspar_assign(spark, sf_dir):
+    """Assignment under the k-means||-style parallel seeds (Bahmani et al.
+    2012 shape: md5-hash Bernoulli oversampling rounds + cluster-size-
+    weighted greedy farthest-first reduce). Every quantity — the hash
+    draws, costs, weights, and reduce scores — is an exact left-to-right
+    float function of the data, so for the fixed (nlist=4, oversample=8,
+    rounds=2) the WHOLE seeding unrolls into the DuckDB twin
+    bit-for-bit."""
+    from mysql_time_machine_spark.operators.ann import (
+        assign_centroids,
+        seed_centroids_parallel,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = seed_centroids_parallel(emb, nlist=4, oversample=8, rounds=2)
+    return assign_centroids(emb, nlist=4, centroids=cents).select(
+        "vec_id", "centroid_id"
+    )
+
+
 def _text_langid(spark, sf_dir):
     from mysql_time_machine_spark.functions.text import lang_id
 
@@ -591,6 +611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_topk_clustered": _sim_ivf_topk_clustered,
         "sim_kmeans_assign": _sim_kmeans_assign,
         "sim_kmeanspp_assign": _sim_kmeanspp_assign,
+        "sim_kmeanspar_assign": _sim_kmeanspar_assign,
         "text_langid": _text_langid,
         "text_quality": _text_quality,
         "text_token_count": _text_token_count,
@@ -739,6 +760,88 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (PARTITION BY e.vec_id
                          ORDER BY {_cos("e.embedding", "c.cv")} DESC, c.cid) AS rn
                 FROM embeddings e CROSS JOIN cents{nlist} c) WHERE rn = 1
+        """
+
+    # unrolled k-means|| seeding (ann.seed_centroids_parallel): `rounds`
+    # hash-Bernoulli oversampling rounds grow a candidate pool from the
+    # md5-ordered first pick; candidates are weighted by the population
+    # they attract, then reduced by weighted greedy farthest-first (nlist
+    # - 1 unrolled steps). The draw u = hex12(md5(id ':' r)) / 16^12 and
+    # every cost/score use left-to-right float sums — the exact
+    # arithmetic the Spark side computes.
+    def _sql_hexn_to_int(expr: str, start: int, n: int) -> str:
+        terms = [
+            f"(strpos('0123456789abcdef', substr({expr}, {start + i}, 1)) - 1)"
+            f" * {16 ** (n - 1 - i)}"
+            for i in range(n)
+        ]
+        return "(" + " + ".join(terms) + ")"
+
+    def _sql_kmeanspar(nlist: int, l: int, rounds: int) -> str:
+        ctes = [
+            "p0 AS (SELECT vec_id, embedding AS v FROM embeddings"
+            " ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 1)",
+            "pool0 AS (SELECT * FROM p0)",
+        ]
+        for r in range(rounds):
+            u = (
+                _sql_hexn_to_int(f"md5(t.vec_id::VARCHAR || ':{r}')", 1, 12)
+                + f"::DOUBLE / {float(16 ** 12)!r}"
+            )
+            ctes.append(
+                f"""cost{r} AS (
+                SELECT e.vec_id, any_value(e.embedding) AS v,
+                       greatest(0.0, 1.0 - max({_cos("e.embedding", "p.v")})) AS c
+                FROM embeddings e CROSS JOIN pool{r} p GROUP BY e.vec_id)"""
+            )
+            ctes.append(f"phi{r} AS (SELECT sum(c) AS phi FROM cost{r})")
+            ctes.append(
+                f"""pick{r} AS (
+                SELECT t.vec_id, t.v FROM cost{r} t, phi{r}
+                WHERE {u} < {float(l)!r} * t.c / phi
+                  AND t.vec_id NOT IN (SELECT vec_id FROM pool{r}))"""
+            )
+            ctes.append(
+                f"pool{r + 1} AS (SELECT * FROM pool{r} UNION ALL SELECT * FROM pick{r})"
+            )
+        ctes += [
+            f"cand AS (SELECT vec_id, v,"
+            f" row_number() OVER (ORDER BY vec_id) - 1 AS idx FROM pool{rounds})",
+            f"""assignw AS (
+                SELECT e.vec_id, c.idx,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY {_cos("e.embedding", "c.v")} DESC, c.idx) AS rn
+                FROM embeddings e CROSS JOIN cand c)""",
+            "wts AS (SELECT idx, count(*)::DOUBLE AS wt FROM assignw"
+            " WHERE rn = 1 GROUP BY idx)",
+            "cw AS (SELECT c.idx, c.v, coalesce(w.wt, 0.0) AS wt"
+            " FROM cand c LEFT JOIN wts w USING (idx))",
+            "ch1 AS (SELECT c.idx, 0 AS ord FROM cand c JOIN p0 USING (vec_id))",
+        ]
+        for k in range(1, nlist):
+            ctes.append(
+                f"""st{k} AS (
+                SELECT t.idx, {k} AS ord FROM (
+                    SELECT cw.idx,
+                           any_value(cw.wt)
+                             * greatest(0.0, 1.0 - max({_cos("cw.v", "cv.v")})) AS score
+                    FROM cw CROSS JOIN (SELECT c2.v FROM ch{k} j
+                                        JOIN cand c2 ON c2.idx = j.idx) cv
+                    WHERE cw.idx NOT IN (SELECT idx FROM ch{k})
+                    GROUP BY cw.idx
+                    ORDER BY score DESC, cw.idx LIMIT 1) t)"""
+            )
+            ctes.append(
+                f"ch{k + 1} AS (SELECT * FROM ch{k} UNION ALL SELECT * FROM st{k})"
+            )
+        return f"""
+            WITH {", ".join(ctes)}
+            SELECT vec_id, ord AS centroid_id FROM (
+                SELECT e.vec_id, f.ord,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY {_cos("e.embedding", "c.v")} DESC, f.ord) AS rn
+                FROM embeddings e CROSS JOIN (ch{nlist} f
+                  JOIN cand c ON c.idx = f.idx)) WHERE rn = 1
         """
 
     shingles = _sql_shingles()
@@ -1079,6 +1182,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings e CROSS JOIN c2 c) WHERE rn = 1
         """,
         "sim_kmeanspp_assign": _sql_kmeanspp(8),
+        "sim_kmeanspar_assign": _sql_kmeanspar(4, 8, 2),
         "text_langid": f"SELECT doc_id, {_sql_langid()} AS lang_guess FROM documents",
         "text_quality": f"""
             SELECT doc_id,

@@ -204,10 +204,12 @@ def seed_centroids_parallel(
 
     Determinism without RNG: the Bernoulli draw for point x in round r
     uses u = md5(x.id ':' r) mapped to [0,1) — a reproducible hash draw,
-    the same trick the row-key salt uses (CHANGES.txt:102-104). Iterative
-    (log rounds + a weighting pass), so like ``kmeans_centroids`` it has
-    no single-SQL oracle; pytest covers determinism, quality vs
-    first-nlist seeding, and agreement of pass count with O(log nlist).
+    the same trick the row-key salt uses (CHANGES.txt:102-104). Every
+    quantity is an exact function of the data and the driver reduce uses
+    left-to-right float sums, so for FIXED (nlist, oversample, rounds)
+    the whole seeding unrolls into SQL — the sim_kmeanspar_assign oracle
+    reproduces it bit-for-bit; pytest additionally covers determinism,
+    quality vs first-nlist seeding, and the O(log nlist) pass count.
     Centroid ids are the pick order 0..nlist-1."""
     import math
 
@@ -299,32 +301,51 @@ def seed_centroids_parallel(
         .collect()
     }
 
-    import numpy as np
+    # plain left-to-right float64 arithmetic (NOT numpy): the pool is
+    # control-plane-sized, and left-to-right sums are what DuckDB's
+    # list_sum and Spark's F.aggregate fold compute — so the unrolled SQL
+    # oracle (sim_kmeanspar_assign) reproduces every score bit-for-bit
+    # (numpy's pairwise/SIMD summation diverges in the last ulp, which
+    # can flip an argmax tie)
+    cand_vecs = [pool[k] for k in cand_ids]
 
-    vecs = np.array([pool[k] for k in cand_ids], dtype="float64")
-    norms = np.linalg.norm(vecs, axis=1)
-    norms[norms == 0] = 1.0
-    unit = vecs / norms[:, None]
-    w = np.array([counts.get(i, 0) for i in range(len(cand_ids))], dtype="float64")
+    def _dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
 
+    norms = [math.sqrt(_dot(v, v)) or 1.0 for v in cand_vecs]
+
+    def _cos_ij(i, j):
+        return _dot(cand_vecs[i], cand_vecs[j]) / (norms[i] * norms[j])
+
+    w = [float(counts.get(i, 0)) for i in range(len(cand_ids))]
     anchor = cand_ids.index(first_id)  # the md5-ordered global first pick
     chosen = [anchor]
-    max_cos = unit @ unit[anchor]
+    max_cos = [_cos_ij(i, anchor) for i in range(len(cand_ids))]
     while len(chosen) < nlist:
-        cost = np.maximum(0.0, 1.0 - max_cos)
-        score = w * cost
-        score[chosen] = -1.0
-        nxt = int(np.argmax(score))  # np.argmax: first (lowest idx) on ties
-        if score[nxt] <= 0:
+        best_i, best_s = -1, 0.0
+        taken = set(chosen)
+        for i in range(len(cand_ids)):
+            if i in taken:
+                continue
+            s = w[i] * max(0.0, 1.0 - max_cos[i])
+            if s > best_s:  # strict: the FIRST (lowest) index wins ties
+                best_i, best_s = i, s
+        if best_i < 0:
             raise ValueError(
                 "seed_centroids_parallel: candidate pool collapsed to "
                 f"{len(chosen)} distinct centers (< nlist={nlist}); raise "
                 "oversample/rounds"
             )
-        chosen.append(nxt)
-        max_cos = np.maximum(max_cos, unit @ unit[nxt])
+        chosen.append(best_i)
+        for i in range(len(cand_ids)):
+            c = _cos_ij(i, best_i)
+            if c > max_cos[i]:
+                max_cos[i] = c
     return spark.createDataFrame(
-        [(k, [float(x) for x in vecs[i]]) for k, i in enumerate(chosen)],
+        [(k, [float(x) for x in cand_vecs[i]]) for k, i in enumerate(chosen)],
         "centroid_id int, centroid_vec array<float>",
     )
 
