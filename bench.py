@@ -17,7 +17,11 @@ so a load spike degrades one trial of every query instead of every trial
 of one query — and the committed number is the per-query best (the
 least-interfered measurement, the same policy BENCH/scaling.py uses).
 The full trial spread is recorded in the JSON ("trials") so a real
-regression is distinguishable from a noisy trial.
+regression is distinguishable from a noisy trial. Round 6 adds the load
+guard: each trial loop waits (briefly) for a quiet 1-min loadavg before
+starting, and every per-query trial records the loadavg it launched
+under ("loadavg" in the JSON) — cross-round trend lines can now be read
+against the load regime each number was measured in.
 """
 
 from __future__ import annotations
@@ -38,6 +42,24 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 AMPLIFY = int(os.environ.get("SPARK_GRAFT_AMPLIFY", "10"))
 #: best-of-N trials per timed query (interleaved)
 TRIALS = int(os.environ.get("SPARK_GRAFT_TRIALS", "3"))
+#: load guard: before each trial loop, wait up to this many seconds for
+#: the 1-min loadavg to drop below SPARK_GRAFT_QUIET_THRESH (0 disables)
+QUIET_WAIT = int(os.environ.get("SPARK_GRAFT_QUIET_WAIT", "120"))
+QUIET_THRESH = float(os.environ.get("SPARK_GRAFT_QUIET_THRESH", "4.0"))
+
+
+def _load1() -> float:
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except OSError:
+        return -1.0
+
+
+def _wait_quiet() -> None:
+    deadline = time.time() + QUIET_WAIT
+    while _load1() >= QUIET_THRESH and time.time() < deadline:
+        time.sleep(10)
 
 
 def amplified_events(spark, sf_dir, k):
@@ -186,14 +208,14 @@ def main():
         # force full materialization of every column (checksum, no collect)
         out.agg(F.sum(F.crc32("content")), F.sum(F.crc32("commit")), F.count("*")).collect()
 
-    def run_stream(binlog_name, buffered, trial):
-        tag = f"{binlog_name}_{'buf' if buffered else 'plain'}_t{trial}"
+    def run_stream(binlog_name, buffered, trial, changelog=False):
+        tag = f"{binlog_name}_{'buf' if buffered else 'plain'}{'_cl' if changelog else ''}_t{trial}"
         sink_dir = os.path.join(tmp, f"sink_{tag}")
         sink = ManifestParquetSink(spark, sink_dir, n_buckets=int(CPUS))
         cfg = EngineConfig(
             shuffle_partitions=int(CPUS),
             max_files_per_trigger=8,
-            write_changelog=False,
+            write_changelog=changelog,
             buffer_transactions=buffered,
         )
         # generous bound: a load-spiked trial must finish, not truncate
@@ -235,6 +257,15 @@ def main():
                 "buffered", run_stream("binlog_buffered", True, trial)
             ),
         )
+        # the daily-changes fan-out (A6) is on the reference's hot path:
+        # one leg measures its share of the epoch wall (same input as the
+        # plain leg, changelog ON). Additional workload — not in the sum.
+        yield (
+            "cdc_stream_apply_changelog",
+            lambda: sink_dirs.__setitem__(
+                "changelog", run_stream("binlog", False, trial, changelog=True)
+            ),
+        )
         for name in (
             "q1_pricing_summary",
             "w1_lww_collapse",
@@ -255,9 +286,12 @@ def main():
 
         yield "dedup_simhash_pairs", run_simhash_pairs
 
+    loadavg: dict[str, list[float]] = {}
     try:
         for trial in range(TRIALS):
+            _wait_quiet()
             for name, fn in suite(trial):
+                loadavg.setdefault(name, []).append(_load1())
                 t0 = time.time()
                 fn()
                 trials.setdefault(name, []).append(round(time.time() - t0, 3))
@@ -276,6 +310,10 @@ def main():
         # the buffered-path overhead question, answered on the SAME input
         extra["cdc_stream_buffered_over_marked"] = round(
             timings["cdc_stream_apply_buffered"] / timings["cdc_stream_apply_marked"], 3
+        )
+        # the daily-changes fan-out's share of the epoch wall (A6)
+        extra["cdc_stream_changelog_over_plain"] = round(
+            timings["cdc_stream_apply_changelog"] / timings["cdc_stream_apply"], 3
         )
         # parity evidence: both streaming legs converge to the same table
         for leg, d in sink_dirs.items():
@@ -330,7 +368,11 @@ def main():
     # deterministic (see _write_binlog_files), so cdc_stream_apply runs 2
     # micro-batches where r2-r4 accidentally ran 1 — its wall time is
     # expected to rise by roughly one extra full-table CoW merge.
-    excl = {"cdc_stream_apply_buffered", "cdc_stream_apply_marked"}
+    excl = {
+        "cdc_stream_apply_buffered",
+        "cdc_stream_apply_marked",
+        "cdc_stream_apply_changelog",
+    }
     total = round(sum(v for k, v in timings.items() if k not in excl), 3)
     print(
         json.dumps(
@@ -341,7 +383,11 @@ def main():
                 "value_excludes": sorted(excl),
                 "queries": timings,
                 "trials": trials,
-                "trial_policy": f"best-of-{TRIALS}, interleaved (trial loop outermost)",
+                "loadavg": loadavg,
+                "trial_policy": (
+                    f"best-of-{TRIALS}, interleaved (trial loop outermost); "
+                    f"each trial loop waits up to {QUIET_WAIT}s for load1 < {QUIET_THRESH}"
+                ),
                 "sf": sf,
                 "cpus": int(CPUS),
                 "amplify": AMPLIFY,

@@ -17,10 +17,26 @@ JSON manifest listing the table's files, then atomically swaps a
   without its metrics (CHANGES.txt:113-116).
 
 Physical layout: data files are hash-bucketed by the md5-salted key
-(CHANGES.txt:102-104). A MERGE rewrites only the buckets its keys touch
-(copy-on-write at bucket granularity); untouched buckets are carried over
-by reference. At 100 TB the bucket count scales up and each epoch's MERGE
-cost is proportional to the touched key-space, not the table size.
+(CHANGES.txt:102-104). Two MERGE strategies (Iceberg's two write modes):
+
+* ``merge_strategy='cow'`` (copy-on-write, the default): a MERGE rewrites
+  the buckets its keys touch; untouched buckets are carried over by
+  reference. Reads are a plain scan. Best for read-heavy tables and
+  infrequent commits — but with md5-uniform keys an epoch holding more
+  than ~n_buckets keys touches EVERY bucket, so frequent triggers pay
+  ~one full-table rewrite per epoch (the round-5 bench's top streaming
+  term).
+* ``merge_strategy='mor'`` (merge-on-read): a MERGE appends the collapsed
+  batch as per-bucket DELTA files — write cost proportional to the BATCH,
+  independent of table size — and reads resolve base + deltas with the
+  same per-key gtid guard and cell-wise LWW the CoW path applies at write
+  (see ``_mor_resolve``). ``rewrite_data_files`` folds deltas back into
+  the base at maintenance time, exactly Iceberg's compact-after-MoR flow.
+  This is the scale shape for a 100-TB target with frequent triggers.
+
+Both strategies share the fence, lineage, changelog, time travel, and
+schema evolution; ``read()`` resolves deltas whenever the manifest lists
+any, so the strategy only governs how ``merge`` writes.
 """
 
 from __future__ import annotations
@@ -53,9 +69,15 @@ class ManifestParquetSink(Sink):
         root: str,
         business_columns: list[tuple[str, str]] | None = None,
         n_buckets: int = 16,
+        merge_strategy: str = "cow",
     ):
         from mysql_time_machine_spark.schema import BASE_COLUMNS
 
+        if merge_strategy not in ("cow", "mor"):
+            raise ValueError(
+                f"unknown merge_strategy {merge_strategy!r}; expected 'cow' or 'mor'"
+            )
+        self.merge_strategy = merge_strategy
         scheme = root.split("://", 1)[0] if "://" in root else None
         if scheme not in (None, "file"):
             raise ValueError(
@@ -136,15 +158,142 @@ class ManifestParquetSink(Sink):
         base = target_struct([tuple(c) for c in manifest["business_columns"]])
         return T.StructType(list(base.fields) + [T.StructField("_bucket", T.IntegerType(), True)])
 
+    @staticmethod
+    def _delta_schema() -> T.StructType:
+        """On-disk shape of a MoR delta row: the collapsed form the
+        kernels emit, plus the commit ordinal ``_ord`` (the snapshot id
+        that wrote it — the read-side resolution's arrival order)."""
+        from mysql_time_machine_spark.operators.reassemble import COLLAPSED_SCHEMA
+
+        return T.StructType(
+            list(COLLAPSED_SCHEMA.fields) + [T.StructField("_ord", T.LongType(), False)]
+        )
+
     def read(self, snapshot_id: int | None = None) -> DataFrame:
         m = self.current_manifest() if snapshot_id is None else self.manifest_at(snapshot_id)
         files = [f for fl in m["buckets"].values() for f in fl]
         schema = self._schema(m)
         if not files:
-            return self.spark.createDataFrame([], schema).drop("_bucket")
-        # explicit schema: files written before a DDL lack the new column and
-        # read as NULL — Iceberg-style schema evolution on read
-        return self.spark.read.schema(schema).parquet(*files).drop("_bucket")
+            base = self.spark.createDataFrame([], schema).drop("_bucket")
+        else:
+            # explicit schema: files written before a DDL lack the new column
+            # and read as NULL — Iceberg-style schema evolution on read
+            base = self.spark.read.schema(schema).parquet(*files).drop("_bucket")
+        delta_files = [
+            f for fl in m.get("delta_buckets", {}).values() for f in fl
+        ]
+        if not delta_files:
+            return base  # fast path: CoW table or fully-compacted MoR table
+        deltas = self.spark.read.schema(self._delta_schema()).parquet(*delta_files)
+        return self._mor_resolve(base, deltas, [tuple(c) for c in m["business_columns"]])
+
+    def _mor_resolve(
+        self,
+        base: DataFrame,
+        deltas: DataFrame,
+        business_columns: list[tuple[str, str]],
+    ) -> DataFrame:
+        """Merge-on-read resolution — the write-side MERGE rules
+        (merge_logic.py) replayed declaratively over base + delta rows.
+
+        Equivalence argument: the CoW per-key gtid guard applies a change
+        iff ``b.gtid_seq >= t.gtid_seq`` where t is the row state AFTER
+        all earlier epochs, and a dropped (stale) change never advances
+        the stored gtid — so a delta applies iff its gtid_seq >= the MAX
+        gtid_seq over all earlier-committed events of its key (a window
+        filter, no ordered fold needed). After that filter the final row
+        state is exactly the collapse_events_sql shape over pseudo-events:
+        last reset = newest full_image-or-delete, surviving cells =
+        per-cell LWW by commit ordinal from events at-or-after it. One
+        known (and documented) corner beats CoW rather than matching it:
+        a DELETEd key remembers its tombstone gtid here, so a stale
+        late-released insert stays dropped, while CoW's row-level guard
+        loses the tombstone and would resurrect the key.
+
+        Cost shape: one window + the collapse aggregates — all map-side
+        combinable after one hash shuffle on the key; nothing driver-side,
+        no Python. Compaction (rewrite_data_files) folds deltas so steady
+        reads take the base-only fast path."""
+        from pyspark.sql.window import Window
+
+        kv = []
+        for name, _typ in business_columns:
+            kv += [F.lit(name), F.col(name).cast("string")]
+        base_pd = base.select(
+            "repo",
+            "path",
+            F.lit(0).cast("long").alias("_ord"),  # base precedes every delta
+            "row_status",
+            F.lit(True).alias("full_image"),
+            F.map_filter(F.create_map(*kv), lambda k, v: v.isNotNull()).alias("image"),
+            "gtid_seq",
+            "schema_version",
+            "updated_ts",
+        )
+        allr = base_pd.unionByName(
+            deltas.select(
+                "repo", "path", "_ord", "row_status", "full_image", "image",
+                "gtid_seq", "schema_version", "updated_ts",
+            )
+        )
+        # the per-key gtid fence as a prefix-max filter (see docstring)
+        w = (
+            Window.partitionBy("repo", "path")
+            .orderBy("_ord")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        fresh = (
+            allr.withColumn("_pmax", F.max("gtid_seq").over(w))
+            .where(F.col("_pmax").isNull() | (F.col("gtid_seq") >= F.col("_pmax")))
+            .drop("_pmax")
+        )
+        last = fresh.groupBy("repo", "path").agg(
+            F.max_by(
+                F.struct("row_status", "gtid_seq", "schema_version", "updated_ts"),
+                F.col("_ord"),
+            ).alias("_last"),
+            # newest reset: a full image replaces, a delete tombstones —
+            # cells older than either are dead (max ignores NULLs)
+            F.max(
+                F.when(
+                    F.col("full_image") | (F.col("row_status") == "D"), F.col("_ord")
+                )
+            ).alias("_last_reset"),
+        )
+        live = (
+            fresh.alias("e")
+            .join(last.alias("s"), ["repo", "path"])
+            .where(
+                F.col("s._last_reset").isNull()
+                | (F.col("e._ord") >= F.col("s._last_reset"))
+            )
+            .where(F.col("e.row_status") != "D")
+        )
+        cells = (
+            live.select("repo", "path", "_ord", F.explode_outer("image").alias("k", "v"))
+            .where(F.col("k").isNotNull())
+            .groupBy("repo", "path", "k")
+            .agg(F.max_by("v", F.col("_ord")).alias("v"))
+        )
+        images = cells.groupBy("repo", "path").agg(
+            F.map_from_entries(F.collect_list(F.struct("k", "v"))).alias("image")
+        )
+        from mysql_time_machine_spark.functions.core import materialize_cell
+
+        resolved = (
+            last.where(F.col("_last.row_status") != "D")
+            .join(images, ["repo", "path"], "left")
+        )
+        out_cols = [F.col("repo"), F.col("path")]
+        for name, typ in business_columns:
+            out_cols.append(materialize_cell("image", name, typ))
+        out_cols += [
+            F.col("_last.row_status").alias("row_status"),
+            F.col("_last.gtid_seq").alias("gtid_seq"),
+            F.col("_last.schema_version").alias("schema_version"),
+            F.col("_last.updated_ts").alias("updated_ts"),
+        ]
+        return resolved.select(*out_cols)
 
     def snapshot_as_of(self, snapshot_id: int) -> DataFrame:
         """Point-in-time read — the hbase-snapshotter (README.md:22-23),
@@ -287,7 +436,11 @@ class ManifestParquetSink(Sink):
             return {"expired_snapshots": 0, "deleted_files": 0}
 
         def data_files(m):
-            return {f for fl in m["buckets"].values() for f in fl}
+            # delta files are data files too: a retained MoR snapshot's
+            # reads resolve them, so they carry by reference like buckets
+            return {f for fl in m["buckets"].values() for f in fl} | {
+                f for fl in m.get("delta_buckets", {}).values() for f in fl
+            }
 
         keep_files = set().union(*(data_files(m) for m in retained))
         drop_files = set().union(*(data_files(m) for m in expired)) - keep_files
@@ -334,6 +487,7 @@ class ManifestParquetSink(Sink):
         self._commit_manifest(
             {
                 **{k: m[k] for k in ("epoch_id", "max_gtid_seq", "business_columns", "buckets", "lineage", "registry")},
+                **({"delta_buckets": m["delta_buckets"]} if m.get("delta_buckets") else {}),
                 "snapshot_id": m["snapshot_id"] + 1,
                 "parent": m["snapshot_id"],
                 "changelog_files": {d: fl for d, fl in by_day.items() if d >= older_than_day},
@@ -367,18 +521,68 @@ class ManifestParquetSink(Sink):
         * the OLD files are NOT deleted — prior snapshots still reference
           them (time travel stays intact); ``expire_snapshots`` reclaims
           them once no retained snapshot references them, exactly like
-          Iceberg's expire-after-rewrite flow."""
+          Iceberg's expire-after-rewrite flow.
+
+        On a merge-on-read table this is ALSO the delta fold (Iceberg's
+        compact-after-MoR flow): every bucket holding delta files is
+        resolved (base + deltas through ``_mor_resolve``) and rewritten as
+        plain base files, so steady-state reads take the base-only fast
+        path again. Delta buckets are always folded regardless of
+        ``min_files_per_bucket`` — a delta file is read-side work by
+        definition, not just a small file."""
         m = self.current_manifest()
+        delta_b = {k: list(v) for k, v in m.get("delta_buckets", {}).items()}
         todo = {
-            b: fl for b, fl in m["buckets"].items() if len(fl) >= min_files_per_bucket
+            b: fl
+            for b, fl in m["buckets"].items()
+            if len(fl) >= min_files_per_bucket and b not in delta_b
         }
-        if not todo:
+        if not todo and not delta_b:
             return {"compacted_buckets": 0, "files_before": 0, "files_after": 0}
         snap = m["snapshot_id"] + 1
         out_dir = os.path.join(self.root, "data", f"s{snap:06d}")
         read_schema = self._schema(m)
         buckets = dict(m["buckets"])
-        files_before = sum(len(fl) for fl in todo.values())
+        files_before = sum(len(fl) for fl in todo.values()) + sum(
+            len(m["buckets"].get(b, [])) + len(fl) for b, fl in delta_b.items()
+        )
+        if delta_b:
+            # one distributed resolve over every delta-holding bucket —
+            # NOT a per-bucket loop of plans; repartition("_bucket") puts
+            # each bucket in one task so each bucket compacts to ONE file
+            base_files = [f for b in delta_b for f in m["buckets"].get(b, [])]
+            if base_files:
+                base = (
+                    self.spark.read.schema(read_schema)
+                    .parquet(*base_files)
+                    .drop("_bucket")
+                )
+            else:
+                base = self.spark.createDataFrame([], read_schema).drop("_bucket")
+            dfiles = [f for fl in delta_b.values() for f in fl]
+            deltas = self.spark.read.schema(self._delta_schema()).parquet(*dfiles)
+            resolved = self._mor_resolve(
+                base, deltas, [tuple(c) for c in m["business_columns"]]
+            ).withColumn("_bucket", salted_shuffle_key(self.n_buckets))
+            resolved.repartition(max(len(delta_b), 1), "_bucket").write.mode(
+                "overwrite"
+            ).partitionBy("_bucket").parquet(out_dir)
+            for b in delta_b:
+                bdir = os.path.join(out_dir, f"_bucket={b}")
+                files = (
+                    [
+                        os.path.join(bdir, fn)
+                        for fn in sorted(os.listdir(bdir))
+                        if fn.endswith(".parquet")
+                    ]
+                    if os.path.isdir(bdir)
+                    else []
+                )
+                if files:
+                    buckets[b] = files
+                else:
+                    # deltas deleted every key the bucket held
+                    buckets.pop(b, None)
         for b, fl in todo.items():
             bdir = os.path.join(out_dir, f"_bucket={b}")
             # drop("_bucket"): it is a hive partition value in the layout,
@@ -402,9 +606,12 @@ class ManifestParquetSink(Sink):
             }
         )
         return {
-            "compacted_buckets": len(todo),
+            "compacted_buckets": len(todo) + len(delta_b),
             "files_before": files_before,
-            "files_after": sum(len(buckets[b]) for b in todo),
+            "files_after": sum(
+                len(buckets.get(b, [])) for b in set(todo) | set(delta_b)
+            ),
+            "folded_delta_buckets": len(delta_b),
         }
 
     def remove_orphan_files(self, older_than_sec: float = 259_200.0) -> dict[str, int]:
@@ -434,6 +641,9 @@ class ManifestParquetSink(Sink):
         referenced: set[str] = set()
         for m in self.snapshots():
             referenced.update(f for fl in m["buckets"].values() for f in fl)
+            referenced.update(
+                f for fl in m.get("delta_buckets", {}).values() for f in fl
+            )
         cur = self.current_manifest()
         for fl in self._changelog_by_day(cur.get("changelog_files", {})).values():
             referenced.update(fl)
@@ -518,6 +728,39 @@ class ManifestParquetSink(Sink):
             )
             touched = sorted(r["_bucket"] for r in stats_rows)
 
+            if self.merge_strategy == "mor":
+                # merge-on-read: append the collapsed batch as per-bucket
+                # delta files — cost proportional to the BATCH, independent
+                # of table size; the read path / compaction resolve them
+                out_dir = os.path.join(self.root, "data", f"s{snap:06d}-delta")
+                batch.withColumn("_ord", F.lit(snap).cast("long")).write.mode(
+                    "overwrite"
+                ).partitionBy("_bucket").parquet(out_dir)
+                buckets = dict(m["buckets"])
+                delta_buckets = {
+                    k: list(v) for k, v in m.get("delta_buckets", {}).items()
+                }
+                for b in touched:
+                    bdir = os.path.join(out_dir, f"_bucket={b}")
+                    if os.path.isdir(bdir):
+                        files = [
+                            os.path.join(bdir, fn)
+                            for fn in sorted(os.listdir(bdir))
+                            if fn.endswith(".parquet")
+                        ]
+                        if files:
+                            delta_buckets.setdefault(str(b), []).extend(files)
+                return self._finish_merge(
+                    m, snap, epoch_id, buckets, delta_buckets, stats_rows,
+                    business_columns, registry, lineage, changelog,
+                )
+
+            if m.get("delta_buckets"):
+                raise ValueError(
+                    "copy-on-write merge on a table with pending delta files: "
+                    "run rewrite_data_files() to fold them first, or construct "
+                    "the sink with merge_strategy='mor'"
+                )
             out_dir = os.path.join(self.root, "data", f"s{snap:06d}")
             new_schema = self._schema({"business_columns": business_columns})
             old_files = [f for b in touched for f in m["buckets"].get(str(b), [])]
@@ -589,26 +832,6 @@ class ManifestParquetSink(Sink):
             merged = merged.drop("_bucket").withColumn("_bucket", salted_shuffle_key(self.n_buckets))
             merged.write.mode("overwrite").partitionBy("_bucket").parquet(out_dir)
 
-            changelog_files: dict[str, list[str]] = self._changelog_by_day(
-                m.get("changelog_files", {})
-            )
-            if changelog is not None:
-                # partitioned by UTC day — the Iceberg days(ts) analogue; the
-                # manifest's day -> files map is what lets read_changelog
-                # prune at the file level for daily imports
-                cl_dir = os.path.join(self.root, "changelog", f"s{snap:06d}")
-                changelog.write.mode("overwrite").partitionBy("day_utc").parquet(cl_dir)
-                for entry in sorted(os.listdir(cl_dir)):
-                    if not entry.startswith("day_utc="):
-                        continue
-                    d = entry.split("=", 1)[1]
-                    ddir = os.path.join(cl_dir, entry)
-                    changelog_files.setdefault(d, []).extend(
-                        os.path.join(ddir, fn)
-                        for fn in sorted(os.listdir(ddir))
-                        if fn.endswith(".parquet")
-                    )
-
             # collect the files actually written, keyed by bucket
             new_buckets: dict[str, list[str]] = {}
             for b in touched:
@@ -624,36 +847,80 @@ class ManifestParquetSink(Sink):
 
             buckets = {k: v for k, v in m["buckets"].items() if int(k) not in touched}
             buckets.update(new_buckets)
-
-            max_gtid = max([r["max_gtid"] for r in stats_rows if r["max_gtid"] is not None], default=m["max_gtid_seq"])
-            lin = dict(lineage or {})
-            lin.update(
-                {
-                    "n_I": sum(r["n_I"] for r in stats_rows),
-                    "n_U": sum(r["n_U"] for r in stats_rows),
-                    "n_D": sum(r["n_D"] for r in stats_rows),
-                    "per_bucket": {
-                        str(r["_bucket"]): {"n_I": r["n_I"], "n_U": r["n_U"], "n_D": r["n_D"]}
-                        for r in stats_rows
-                    },
-                }
+            return self._finish_merge(
+                m, snap, epoch_id, buckets, {}, stats_rows,
+                business_columns, registry, lineage, changelog,
             )
-
-            self._commit_manifest(
-                {
-                    "snapshot_id": snap,
-                    "parent": m["snapshot_id"],
-                    "epoch_id": epoch_id,
-                    "max_gtid_seq": int(max(max_gtid, m["max_gtid_seq"])),
-                    "business_columns": [list(c) for c in business_columns],
-                    "buckets": buckets,
-                    "lineage": lin,
-                    "registry": registry,
-                    "changelog_files": changelog_files,
-                }
-            )
-            self._pending_columns = None
-            self._pending_registry = None
-            return True
         finally:
             batch.unpersist()
+
+    def _finish_merge(
+        self,
+        m: dict[str, Any],
+        snap: int,
+        epoch_id: int,
+        buckets: dict[str, list[str]],
+        delta_buckets: dict[str, list[str]],
+        stats_rows,
+        business_columns: list[tuple[str, str]],
+        registry: list[dict],
+        lineage: dict[str, Any] | None,
+        changelog: DataFrame | None,
+    ) -> bool:
+        """Shared commit tail of both merge strategies: changelog append,
+        lineage counters, max-gtid advance, and the single atomic manifest
+        swap that makes MERGE+changelog+fence one commit."""
+        changelog_files: dict[str, list[str]] = self._changelog_by_day(
+            m.get("changelog_files", {})
+        )
+        if changelog is not None:
+            # partitioned by UTC day — the Iceberg days(ts) analogue; the
+            # manifest's day -> files map is what lets read_changelog
+            # prune at the file level for daily imports
+            cl_dir = os.path.join(self.root, "changelog", f"s{snap:06d}")
+            changelog.write.mode("overwrite").partitionBy("day_utc").parquet(cl_dir)
+            for entry in sorted(os.listdir(cl_dir)):
+                if not entry.startswith("day_utc="):
+                    continue
+                d = entry.split("=", 1)[1]
+                ddir = os.path.join(cl_dir, entry)
+                changelog_files.setdefault(d, []).extend(
+                    os.path.join(ddir, fn)
+                    for fn in sorted(os.listdir(ddir))
+                    if fn.endswith(".parquet")
+                )
+
+        max_gtid = max(
+            [r["max_gtid"] for r in stats_rows if r["max_gtid"] is not None],
+            default=m["max_gtid_seq"],
+        )
+        lin = dict(lineage or {})
+        lin.update(
+            {
+                "n_I": sum(r["n_I"] for r in stats_rows),
+                "n_U": sum(r["n_U"] for r in stats_rows),
+                "n_D": sum(r["n_D"] for r in stats_rows),
+                "per_bucket": {
+                    str(r["_bucket"]): {"n_I": r["n_I"], "n_U": r["n_U"], "n_D": r["n_D"]}
+                    for r in stats_rows
+                },
+            }
+        )
+
+        manifest = {
+            "snapshot_id": snap,
+            "parent": m["snapshot_id"],
+            "epoch_id": epoch_id,
+            "max_gtid_seq": int(max(max_gtid, m["max_gtid_seq"])),
+            "business_columns": [list(c) for c in business_columns],
+            "buckets": buckets,
+            "lineage": lin,
+            "registry": registry,
+            "changelog_files": changelog_files,
+        }
+        if delta_buckets:
+            manifest["delta_buckets"] = delta_buckets
+        self._commit_manifest(manifest)
+        self._pending_columns = None
+        self._pending_registry = None
+        return True
