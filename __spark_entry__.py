@@ -566,6 +566,45 @@ def _curate_with_neardup(spark, sf_dir):
     return curate(docs, min_quality=0.5, langs=("en", "de"), clusters=clusters)
 
 
+def _cdc_mor_read(spark, sf_dir):
+    """S5/J1 through ``merge_strategy='mor'``: the sql-mode churn cut into
+    three gtid-range epochs, each collapsed by the Catalyst kernel and
+    MERGEd as merge-on-read DELTA files through the production manifest
+    sink (write cost ∝ batch, not table — the 100-TB frequent-trigger
+    shape). The returned DataFrame is ``sink.read()`` — the read-side
+    base+delta resolution (prefix-max gtid fence + per-cell LWW by commit
+    ordinal) — which must equal the one-shot batch replay's final state:
+    the SAME oracle as cdc_replay_final_state gates it."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from fixtures.gen_binlog import sql_mode_events
+    from mysql_time_machine_spark.functions import content_sha256
+    from mysql_time_machine_spark.operators.reassemble import collapse_events_sql
+    from mysql_time_machine_spark.sinks.manifest import ManifestParquetSink
+
+    ev = sql_mode_events(spark, sf_dir)
+    hi = ev.agg(F.max("gtid_seq")).head()[0]
+    b1, b2 = hi // 3, (2 * hi) // 3
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"{tempfile.gettempdir()}/mtm_mor_read_{tag}_{os.getpid()}"
+    shutil.rmtree(root, ignore_errors=True)
+    sink = ManifestParquetSink(spark, root, n_buckets=8, merge_strategy="mor")
+    for epoch_id, (lo, up) in enumerate([(None, b1), (b1, b2), (b2, None)], start=1):
+        ep = ev
+        if lo is not None:
+            ep = ep.where(F.col("gtid_seq") > lo)
+        if up is not None:
+            ep = ep.where(F.col("gtid_seq") <= up)
+        sink.merge(collapse_events_sql(ep), epoch_id=epoch_id)
+    return sink.read().select(
+        "repo", "path", "commit", "lang", "content",
+        content_sha256().alias("content_sha256"),
+    )
+
+
 def _mm_media_features(spark, sf_dir):
     from mysql_time_machine_spark.operators.multimodal import extract_features, media_from_documents
 
@@ -619,6 +658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_verdicts": _curate_verdicts,
         "curate_with_neardup": _curate_with_neardup,
         "dedup_stream_exact": _dedup_stream_exact,
+        "cdc_mor_read": _cdc_mor_read,
         "mm_media_features": _mm_media_features,
     }
 
@@ -890,6 +930,10 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "cdc_replay_final_state": SQL_MODE_FINAL_STATE_SQL,
+        # epoch-cut + MoR delta resolution must converge to the same final
+        # state as the one-shot replay — the strongest possible oracle is
+        # literally the replay oracle
+        "cdc_mor_read": SQL_MODE_FINAL_STATE_SQL,
         "cdc_replay_typed": SQL_MODE_TYPED_FINAL_STATE_SQL,
         "w1_lww_collapse": """
             SELECT user_id, last_event_id, last_type, last_value, n_versions FROM (

@@ -97,12 +97,16 @@ def test_fat_row_replay_all_kernels(spark, impl, arrow_conf_guard):
         assert applied == 100000  # sql kernel never pays Arrow; cap untouched
 
 
-def test_fat_row_streaming_apply(spark, tmp_path, arrow_conf_guard):
+def test_fat_row_streaming_apply(spark, tmp_path, arrow_conf_guard, monkeypatch):
     """The streaming job's per-epoch stats aggregate carries the width
     estimate: a fat-row micro-batch shrinks the Arrow batch before the
-    sorted kernel runs, and the merged table round-trips the blobs."""
+    sorted kernel runs (observed via a spy — the tune is scoped to the
+    micro-batch and RESTORED afterwards, so later pandas-UDF workloads in
+    the session keep the default ceiling), and the merged table
+    round-trips the blobs."""
     import os
 
+    from mysql_time_machine_spark import session as session_mod
     from mysql_time_machine_spark.sinks.manifest import ManifestParquetSink
     from mysql_time_machine_spark.streaming.job import ApplyJob
 
@@ -119,10 +123,22 @@ def test_fat_row_streaming_apply(spark, tmp_path, arrow_conf_guard):
         os.path.join(binlog, "epoch-000.parquet"),
     )
 
+    applied: list[int] = []
+    real_tune = session_mod.tune_arrow_batch_for_width
+    monkeypatch.setattr(
+        session_mod,
+        "tune_arrow_batch_for_width",
+        lambda sp, w: applied.append(real_tune(sp, w)) or applied[-1],
+    )
+
     sink = ManifestParquetSink(spark, str(tmp_path / "sink"), n_buckets=4)
     cfg = EngineConfig(shuffle_partitions=4, write_changelog=False)
     ApplyJob(spark, binlog, sink, cfg).run_available()
 
-    assert int(spark.conf.get(arrow_conf_guard)) <= 128
+    # the tune ran for the fat micro-batch and was byte-aware...
+    assert applied and max(applied) <= 128, applied
+    # ...and the session ceiling is restored after the stream (scoped, not
+    # sticky — the cross-workload regression the r5 advice flagged)
+    assert int(spark.conf.get(arrow_conf_guard)) == 100000
     got = {r["path"]: r for r in sink.read().select("path", F.length("content").alias("len")).collect()}
     assert len(got) == n and got["k0"]["len"] == mb * MB + 2
