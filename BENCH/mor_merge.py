@@ -34,8 +34,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 AMPLIFY = int(os.environ.get("SPARK_GRAFT_AMPLIFY", "10"))
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 SEED_FACTORS = tuple(
-    int(x) for x in os.environ.get("SPARK_GRAFT_SEED_FACTORS", "1,10").split(",")
+    int(x) for x in os.environ.get("SPARK_GRAFT_SEED_FACTORS", "1,10,50").split(",")
 )
+#: best-of-N per (strategy, factor) cell — the first streaming query of a
+#: session pays JVM warm-up, which a single-trial protocol books entirely
+#: to whichever cell runs first
+TRIALS = int(os.environ.get("SPARK_GRAFT_TRIALS", "2"))
 
 
 def seed_batch(spark, n_keys: int):
@@ -104,19 +108,36 @@ def main() -> int:
             seed.count()
             for strategy in ("cow", "mor"):
                 tag = f"{strategy}_x{factor}"
-                root = os.path.join(tmp, f"sink_{tag}")
-                sink = ManifestParquetSink(
-                    spark, root, n_buckets=int(CPUS), merge_strategy=strategy
-                )
-                t0 = time.time()
-                sink.merge(seed, epoch_id=0)
-                seed_wall = time.time() - t0
-                t0 = time.time()
-                ApplyJob(
-                    spark, binlog, sink, cfg,
-                    checkpoint_dir=os.path.join(tmp, f"ckpt_{tag}"),
-                ).run_available(timeout_sec=3500)
-                stream_wall = time.time() - t0
+                cell = []
+                for t in range(TRIALS):
+                    root = os.path.join(tmp, f"sink_{tag}_t{t}")
+                    sink = ManifestParquetSink(
+                        spark, root, n_buckets=int(CPUS), merge_strategy=strategy
+                    )
+                    t0 = time.time()
+                    sink.merge(seed, epoch_id=0)
+                    seed_wall = time.time() - t0
+                    t0 = time.time()
+                    ApplyJob(
+                        spark, binlog, sink, cfg,
+                        checkpoint_dir=os.path.join(tmp, f"ckpt_{tag}_t{t}"),
+                    ).run_available(timeout_sec=3500)
+                    stream_wall = time.time() - t0
+                    cell.append((stream_wall, seed_wall, sink))
+                stream_wall, seed_wall, sink = min(cell, key=lambda c: c[0])
+                # bytes the STREAM epochs wrote (excludes the seed commit):
+                # the load-independent scale metric — CoW rewrites ~the
+                # whole table per epoch, MoR appends ~the batch
+                stream_bytes = 0
+                for dirpath, _dirs, files in os.walk(os.path.join(sink.root, "data")):
+                    seg = os.path.relpath(dirpath, os.path.join(sink.root, "data"))
+                    if seg.split(os.sep)[0].startswith("s000001"):
+                        continue  # the seed merge's own snapshot
+                    stream_bytes += sum(
+                        os.path.getsize(os.path.join(dirpath, fn))
+                        for fn in files
+                        if fn.endswith(".parquet")
+                    )
                 r = {
                     "strategy": strategy,
                     "seed_factor": factor,
@@ -124,6 +145,8 @@ def main() -> int:
                     "seed_merge_sec": round(seed_wall, 2),
                     "stream_sec": round(stream_wall, 2),
                     "per_epoch_sec": round(stream_wall / n_ep, 2),
+                    "write_mb_per_epoch": round(stream_bytes / n_ep / (1 << 20), 1),
+                    "trials": [round(c[0], 2) for c in cell],
                 }
                 results.append(r)
                 tables[tag] = sink
@@ -164,18 +187,28 @@ def main() -> int:
             f"local[{CPUS}], {CPUS} buckets. Each sink pre-seeded (epoch 0) with",
             f"seed_factor x {n_stream_keys:,} disjoint keys before the stream runs.",
             "",
-            "| strategy | seed x | seeded rows | stream wall | per-epoch |",
-            "|---|---|---|---|---|",
+            "| strategy | seed x | seeded rows | stream wall | per-epoch | MB written/epoch |",
+            "|---|---|---|---|---|---|",
         ]
         for r in results:
             lines.append(
                 f"| {r['strategy']} | {r['seed_factor']} | {r['seed_rows']:,} "
-                f"| {r['stream_sec']}s | {r['per_epoch_sec']}s |"
+                f"| {r['stream_sec']}s | {r['per_epoch_sec']}s "
+                f"| {r['write_mb_per_epoch']} |"
             )
+        cow_wgrowth = (
+            by[("cow", f1)]["write_mb_per_epoch"] / by[("cow", f0)]["write_mb_per_epoch"]
+        )
+        mor_wgrowth = (
+            by[("mor", f1)]["write_mb_per_epoch"] / by[("mor", f0)]["write_mb_per_epoch"]
+        )
         lines += [
             "",
-            f"Per-epoch growth {f0}x -> {f1}x table size: CoW **{cow_growth:.2f}x**, "
-            f"MoR **{mor_growth:.2f}x** (1.0 = fully table-size-independent — the",
+            f"Per-epoch WALL growth {f0}x -> {f1}x table size: CoW **{cow_growth:.2f}x**, "
+            f"MoR **{mor_growth:.2f}x**. Per-epoch BYTES-WRITTEN growth (the",
+            "load-independent scale metric — wall hides the rewrite under fixed",
+            f"costs at this absolute table size): CoW **{cow_wgrowth:.2f}x**, MoR "
+            f"**{mor_wgrowth:.2f}x** (1.0 = fully table-size-independent — the",
             "scale property frequent-trigger streaming needs at 100 TB).",
             "",
             "Parity after rewrite_data_files() folds the MoR deltas:",

@@ -182,7 +182,14 @@ def main() -> int:
                 r["load_start"], r["load_end"], r["round"] = ld_start, load1(), rnd
                 print(json.dumps(r), flush=True)
                 trials.setdefault((leg, cpus), []).append(r)
+        # write (and rewrite) the report after EVERY round: a cut-short
+        # run still leaves a complete report over the rounds it finished
+        if all((leg, cpus) in trials for leg in LEGS for cpus in LEVELS):
+            write_report(trials, rnd + 1)
+    return 0
 
+
+def write_report(trials: dict[tuple, list[dict]], rounds_done: int) -> None:
     best = {k: min(v, key=lambda r: r["wall_sec"]) for k, v in trials.items()}
     rows_match = len(
         {best[(leg, LEVELS[0])]["final_rows"] for leg in LEGS}
@@ -193,7 +200,7 @@ def main() -> int:
         f"Input: sql-mode log over {SF_DIR}, amplify x{AMPLIFY} =",
         f"{best[(LEGS[0], LEVELS[0])]['row_events']:,} row events, replayed through",
         f"ApplyJob (AvailableNow, {PARTITIONS} shuffle partitions/buckets at BOTH",
-        f"levels, fresh JVM per run, {ROUNDS} interleaved rounds, per-cell best).",
+        f"levels, fresh JVM per run, {rounds_done} interleaved rounds, per-cell best).",
         "All legs stream gtid-quantile-cut epoch files (binlog order). The",
         f"marked legs carry BEGIN/COMMIT-wrapped {TXN_WIDTH}-row transactions that",
         "straddle micro-batch boundaries; marked_on resolves them with the",
@@ -243,7 +250,6 @@ def main() -> int:
     with open(os.path.join(REPO, "BENCH", OUT_MD.replace(".md", "_trials.json")), "w") as f:
         json.dump({f"{k[0]}@{k[1]}": v for k, v in trials.items()}, f, indent=1)
     print(md)
-    return 0
 
 
 if __name__ == "__main__":

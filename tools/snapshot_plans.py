@@ -141,6 +141,22 @@ def main() -> int:
         "through with NO added operator when nothing straddles)",
         store.resolve(with_txn_markers(ev, txn_width=10), epoch_id=0),
     ))
+    from mysql_time_machine_spark.operators.reassemble import collapse_events_sql
+    from mysql_time_machine_spark.sinks.manifest import ManifestParquetSink
+
+    mor = ManifestParquetSink(
+        spark, tempfile.mkdtemp(prefix="plan_mor_"), n_buckets=4, merge_strategy="mor"
+    )
+    mid = ev.agg(F.max("gtid_seq")).head()[0] // 2
+    mor.merge(collapse_events_sql(ev.where(F.col("gtid_seq") <= mid)), epoch_id=1)
+    mor.merge(collapse_events_sql(ev.where(F.col("gtid_seq") > mid)), epoch_id=2)
+    out.append(cap(
+        "merge-on-read read(): base+delta resolution (ONE hash shuffle on "
+        "the key feeds the prefix-max gtid fence window, the last-state "
+        "max_by and the per-cell LWW aggregates — no Python, no driver "
+        "state; compaction folds deltas so steady reads skip all of this)",
+        mor.read(),
+    ))
     # minhash runs eagerly (stages + unpersists); snapshot the staged read's
     # provenance note instead of forcing a full run at snapshot time
     out.append(
