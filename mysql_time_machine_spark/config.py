@@ -72,6 +72,20 @@ class EngineConfig:
     #: applyInPandas) is the readability/debuggability form (0.47-0.59
     #: N->4N). All three are bit-identical by parity + property tests.
     collapse_impl: str = "auto"
+    #: 'auto' streaming regime escalation: a micro-batch holding at least
+    #: this many ROW events is throughput-bound, not fixed-cost-bound, so
+    #: the job upgrades it from 'sorted' to the 'sql' kernel. The two
+    #: kernels differ structurally in SHUFFLE VOLUME: 'sorted' repartitions
+    #: every raw event (full-data exchange), while 'sql' partially
+    #: aggregates map-side so only ~keys x cells cross the wire — at 31.5M
+    #: events/batch the full-data exchange was measured as a ~150 s/epoch
+    #: parallelism-independent term (BENCH/STREAM_SCALING_r6.md) that
+    #: capped streaming N->4N efficiency at 0.36 while the sql kernel
+    #: gates 0.993. Below the threshold 'sorted' keeps its measured win
+    #: (smallest per-batch plan; sql's plan/codegen fixed cost dominates
+    #: small batches). Pinning collapse_impl explicitly disables the
+    #: escalation.
+    big_batch_rows: int = 2_000_000
 
     def resolved_collapse_impl(self, regime: str) -> str:
         """'auto' -> the measured best kernel for the regime

@@ -362,11 +362,27 @@ def _collapse_sorted_flat(pdf: pd.DataFrame) -> pd.DataFrame:
 def collapse_events_sql(events: DataFrame) -> DataFrame:
     """Pure-Catalyst collapse: no Python, cell-level parallel LWW.
 
-    1. per key: find the last reset event (I or D) with ``max_by`` —
-       map-side combinable, one shuffle;
-    2. cells from events ordered >= last reset survive; merge per (key,
-       cell) with ``max_by`` on the order key;
-    3. reassemble the map with ``map_from_entries``.
+    AGGREGATE-FIRST shape — no operator ever exchanges raw events:
+
+    1. per key: the last event + last reset (I or D) order key, one
+       map-side-combinable ``max_by`` aggregate (shuffle carries ~keys);
+    2. per (key, cell): the last write and its order key over ALL non-D
+       events — also map-side combined (shuffle carries ~keys x cells).
+       A cell is live iff its LAST write is at-or-after the key's last
+       reset: any earlier write is superseded either by the reset or by
+       the later write itself, so filtering the per-cell aggregate
+       AGAINST the reset bound afterwards is exactly equivalent to
+       pre-filtering events — but needs no join against the raw stream;
+    3. join the two aggregate outputs (both ~key-sized) and reassemble
+       the image with ``map_from_entries``.
+
+    The earlier shape joined the raw events against the per-key aggregate
+    to filter pre-reset cells. Under batch AQE that join becomes a
+    broadcast and costs nothing; inside a STREAMING micro-batch AQE is
+    unavailable, so Catalyst planned a full SortMergeJoin — a
+    full-data exchange+sort per epoch that capped streaming N->4N
+    efficiency at 0.36 (BENCH/STREAM_SCALING_r6.md). The aggregate-first
+    shape never materializes that exchange in either regime.
     """
     ev = events.where(F.col("op").isin("I", "U", "D")).withColumn(
         "_ord",
@@ -381,24 +397,26 @@ def collapse_events_sql(events: DataFrame) -> DataFrame:
         F.max(F.when(F.col("op").isin("I", "D"), F.col("_ord"))).alias("_last_reset"),
     )
 
-    live = (
-        ev.alias("e")
-        .join(last.alias("s"), ["repo", "path"])
-        .where(
-            F.col("s._last_reset").isNull()
-            | (F.col("e._ord") >= F.col("s._last_reset"))
-        )
-        .where(F.col("e.op") != "D")
-    )
-
     cells = (
-        live.select("repo", "path", "_ord", F.explode_outer("after").alias("k", "v"))
+        ev.where(F.col("op") != "D")
+        .select("repo", "path", "_ord", F.explode_outer("after").alias("k", "v"))
         .where(F.col("k").isNotNull())
         .groupBy("repo", "path", "k")
-        .agg(F.max_by("v", F.col("_ord")).alias("v"))
+        .agg(
+            F.max_by("v", F.col("_ord")).alias("v"),
+            F.max(F.col("_ord")).alias("_cell_ord"),
+        )
     )
 
-    images = cells.groupBy("repo", "path").agg(
+    live_cells = (
+        cells.join(last.select("repo", "path", "_last_reset"), ["repo", "path"])
+        .where(
+            F.col("_last_reset").isNull()
+            | (F.col("_cell_ord") >= F.col("_last_reset"))
+        )
+    )
+
+    images = live_cells.groupBy("repo", "path").agg(
         F.map_from_entries(F.collect_list(F.struct("k", "v"))).alias("image")
     )
 

@@ -94,8 +94,8 @@ class ApplyJob:
             batch = self.txn_store.resolve(batch, epoch_id)
         batch = filter_events(batch, cfg)
         batch = batch.withColumn("_class", classify_event())
-        batch.persist()
         tuned_arrow = False
+        persisted = False
         try:
             if batch.isEmpty():
                 # stateful upstream ops (txn buffer timeouts) can emit empty
@@ -119,6 +119,25 @@ class ApplyJob:
                 aggs.append(F.avg(event_payload_bytes()).alias("avg_row_bytes"))
             stats = batch.groupBy("_class").agg(*aggs).collect()
             events_consumed = {r["_class"]: r["n"] for r in stats}
+            if (
+                cfg.collapse_impl == "auto"
+                and events_consumed.get("ROW", 0) >= cfg.big_batch_rows
+            ):
+                # big-batch escalation (see EngineConfig.big_batch_rows):
+                # this micro-batch is throughput-bound — the sql kernel's
+                # map-side combine shrinks the exchange to ~keys x cells,
+                # where the sorted kernel would shuffle every raw event
+                impl = "sql"
+                want_width = False
+            else:
+                # small-batch regime: the later scans (DDL collect, collapse)
+                # win from a cache. A BIG batch must NOT be materialized —
+                # caching 10s of millions of rows to re-read them twice costs
+                # more than the column-pruned parquet re-scans it saves, and
+                # the cache build is an IO term that does not shrink with
+                # cores (measured: BENCH/STREAM_SCALING_r6.md)
+                batch.persist()
+                persisted = True
             if want_width:
                 from mysql_time_machine_spark.session import tune_arrow_batch_for_width
 
@@ -201,7 +220,8 @@ class ApplyJob:
             committed = self.sink.merge(collapsed, epoch_id, lineage=lineage, changelog=changelog)
             self.metrics.append({"epoch_id": epoch_id, **lineage, "committed": committed})
         finally:
-            batch.unpersist()
+            if persisted:
+                batch.unpersist()
             if tuned_arrow:
                 # the kernels executed inside this batch (merge forces the
                 # plan); restore the ceiling so a fat-row epoch's tune never

@@ -73,6 +73,42 @@ def test_streaming_final_state_matches_oracle(completed, small_log):
     _assert_state_matches(sink, small_log)
 
 
+def test_streaming_big_batch_escalates_to_sql_kernel(
+    spark, binlog_dir, small_log, tmp_path_factory, monkeypatch
+):
+    """'auto' streaming regime escalation (EngineConfig.big_batch_rows): a
+    micro-batch at/above the threshold runs the map-side-combined sql
+    kernel (shuffle ~keys x cells) instead of sorted's full-data
+    repartition — the 150 s/epoch non-scaling exchange the r6 scaling run
+    measured at 31.5M-event batches. Same final table either way."""
+    from mysql_time_machine_spark.operators import reassemble as re_mod
+
+    calls = []
+    real = re_mod.collapse_events_sql
+    monkeypatch.setattr(
+        re_mod, "collapse_events_sql", lambda ev: calls.append(1) or real(ev)
+    )
+    root = str(tmp_path_factory.mktemp("sink_bigbatch"))
+    _, sink = _run_job(
+        spark, binlog_dir, root,
+        EngineConfig(max_files_per_trigger=1, shuffle_partitions=8, big_batch_rows=1),
+    )
+    assert calls, "threshold-sized micro-batches must run the sql kernel"
+    _assert_state_matches(sink, small_log)
+
+    # pinning the kernel explicitly disables the escalation
+    calls.clear()
+    root2 = str(tmp_path_factory.mktemp("sink_pinned"))
+    _run_job(
+        spark, binlog_dir, root2,
+        EngineConfig(
+            max_files_per_trigger=1, shuffle_partitions=8,
+            big_batch_rows=1, collapse_impl="sorted",
+        ),
+    )
+    assert not calls, "explicit collapse_impl must win over the escalation"
+
+
 @pytest.mark.parametrize("impl", ["sql", "sorted"])
 def test_streaming_collapse_impl_parity(spark, binlog_dir, small_log, impl, tmp_path_factory):
     """EngineConfig.collapse_impl swaps the kernel under the SAME streaming
