@@ -144,16 +144,15 @@ def exact_dedup_stream(
     # on resume (see sizing rule above), persist it on first run
     import json as _json
 
+    from mysql_time_machine_spark.fsio import MetaFS
+
+    fs = MetaFS(sink_dir, spark)
     meta_path = _os.path.join(sink_dir, "_store_meta.json")
-    if _os.path.exists(meta_path):
-        with open(meta_path) as f:
-            n_buckets = int(_json.load(f)["n_buckets"])
+    if fs.exists(meta_path):
+        n_buckets = int(_json.loads(fs.read_text(meta_path))["n_buckets"])
     else:
-        _os.makedirs(sink_dir, exist_ok=True)
-        tmp_meta = meta_path + ".tmp"
-        with open(tmp_meta, "w") as f:
-            _json.dump({"n_buckets": n_buckets}, f)
-        _os.replace(tmp_meta, meta_path)
+        fs.makedirs(sink_dir)
+        fs.write_text_atomic(meta_path, _json.dumps({"n_buckets": n_buckets}))
 
     def _bucket_of(col):
         return F.pmod(
@@ -171,7 +170,7 @@ def exact_dedup_stream(
             dirs = [
                 f"{store}/_bucket={b}"
                 for b in touched
-                if _os.path.isdir(f"{store}/_bucket={b}")
+                if fs.isdir(f"{store}/_bucket={b}")
             ]
             if dirs:
                 old = batch.sparkSession.read.option("basePath", store).parquet(*dirs)
@@ -199,7 +198,7 @@ def exact_dedup_stream(
         .start()
     )
     q.awaitTermination()
-    if not _os.path.isdir(store):
+    if not fs.isdir(store):
         # zero-data source: no batch ever ran, so the store was never
         # created — return the (empty) result shape, matching the
         # memory-sink path's behavior on the same input. agg.schema, not a

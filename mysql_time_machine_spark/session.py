@@ -52,6 +52,7 @@ def get_spark(
     app_name: str = "mysql-time-machine-spark",
     master: str | None = None,
     shuffle_partitions: int = 32,
+    extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     b = (
@@ -76,4 +77,6 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
     return b.getOrCreate()

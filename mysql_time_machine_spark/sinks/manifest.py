@@ -5,7 +5,8 @@ point-in-time snapshots with a separate Spark job
 (/root/reference/README.md:18-23). In a lakehouse both collapse into
 *table snapshots*: each commit writes immutable Parquet data files plus a
 JSON manifest listing the table's files, then atomically swaps a
-``_current`` pointer (os.replace). That gives, without any catalog jar:
+``_current`` pointer (atomic rename via fsio.MetaFS — driver-local or
+Hadoop-FS). That gives, without any catalog jar:
 
 * snapshot isolation + time travel (``snapshot_as_of``) — replaces the
   entire hbase-snapshotter component (README.md:22-23, CHANGES.txt:76);
@@ -44,13 +45,13 @@ from __future__ import annotations
 import json
 import os
 import re
-import uuid
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from mysql_time_machine_spark.fsio import MetaFS
 from mysql_time_machine_spark.functions.core import salted_shuffle_key
 from mysql_time_machine_spark.schema import LINEAGE_COLUMNS, target_struct
 from mysql_time_machine_spark.sinks.base import Sink
@@ -70,6 +71,7 @@ class ManifestParquetSink(Sink):
         business_columns: list[tuple[str, str]] | None = None,
         n_buckets: int = 16,
         merge_strategy: str = "cow",
+        fs: MetaFS | None = None,
     ):
         from mysql_time_machine_spark.schema import BASE_COLUMNS
 
@@ -78,21 +80,18 @@ class ManifestParquetSink(Sink):
                 f"unknown merge_strategy {merge_strategy!r}; expected 'cow' or 'mor'"
             )
         self.merge_strategy = merge_strategy
-        scheme = root.split("://", 1)[0] if "://" in root else None
-        if scheme not in (None, "file"):
-            raise ValueError(
-                f"ManifestParquetSink root {root!r} has scheme {scheme!r}: "
-                "this sink mixes driver-local manifest IO with Spark parquet "
-                "IO and requires a driver-local path reachable by executors "
-                "(local mode or POSIX shared FS). On a DFS cluster use "
-                "IcebergSink — it is the production path."
-            )
         self.spark = spark
         self.root = root
         self.n_buckets = n_buckets
-        os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
-        os.makedirs(os.path.join(root, "data"), exist_ok=True)
-        if not os.path.exists(os.path.join(root, _CURRENT)):
+        # all manifest/pointer IO goes through MetaFS: local fast path for
+        # plain/file:// roots, Hadoop FileSystem API for DFS schemes — the
+        # driver can commit manifests anywhere the executors write parquet
+        # (fsio.py documents the object-store rename caveat; IcebergSink
+        # stays the recommended production path there)
+        self.fs = fs or MetaFS(root, spark)
+        self.fs.makedirs(os.path.join(root, "manifests"))
+        self.fs.makedirs(os.path.join(root, "data"))
+        if not self.fs.exists(os.path.join(root, _CURRENT)):
             self._commit_manifest(
                 {
                     "snapshot_id": 0,
@@ -111,31 +110,24 @@ class ManifestParquetSink(Sink):
         return os.path.join(self.root, "manifests", f"m{snapshot_id:06d}.json")
 
     def current_manifest(self) -> dict[str, Any]:
-        with open(os.path.join(self.root, _CURRENT)) as f:
-            name = f.read().strip()
-        with open(os.path.join(self.root, "manifests", name)) as f:
-            return json.load(f)
+        name = self.fs.read_text(os.path.join(self.root, _CURRENT)).strip()
+        return json.loads(self.fs.read_text(os.path.join(self.root, "manifests", name)))
 
     def manifest_at(self, snapshot_id: int) -> dict[str, Any]:
-        with open(self._manifest_path(snapshot_id)) as f:
-            return json.load(f)
+        return json.loads(self.fs.read_text(self._manifest_path(snapshot_id)))
 
     def _commit_manifest(self, manifest: dict[str, Any]) -> None:
-        """The atomic commit: write manifest file, then os.replace the
-        pointer — a reader sees either the old or the new snapshot, never a
-        mix. This single rename is what makes MERGE+lineage+fence atomic."""
+        """The atomic commit: write manifest file, then rename the pointer
+        — a reader sees either the old or the new snapshot, never a mix.
+        This single rename is what makes MERGE+lineage+fence atomic."""
         import time as _time
 
         manifest.setdefault("committed_at", _time.time())
         path = self._manifest_path(manifest["snapshot_id"])
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        os.replace(tmp, path)
-        ptr_tmp = os.path.join(self.root, _CURRENT + f".tmp.{uuid.uuid4().hex[:8]}")
-        with open(ptr_tmp, "w") as f:
-            f.write(os.path.basename(path))
-        os.replace(ptr_tmp, os.path.join(self.root, _CURRENT))
+        self.fs.write_text_atomic(path, json.dumps(manifest))
+        self.fs.write_text_atomic(
+            os.path.join(self.root, _CURRENT), os.path.basename(path)
+        )
 
     # -- manifest format migration -------------------------------------------
     @staticmethod
@@ -454,17 +446,11 @@ class ManifestParquetSink(Sink):
         oldest = dict(retained[0])
         oldest["parent"] = None
         path = self._manifest_path(oldest["snapshot_id"])
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(oldest, f)
-        os.replace(tmp, path)
+        self.fs.write_text_atomic(path, json.dumps(oldest))
         for m in expired:
-            p = self._manifest_path(m["snapshot_id"])
-            if os.path.exists(p):
-                os.remove(p)
+            self.fs.remove_if_exists(self._manifest_path(m["snapshot_id"]))
         for f in sorted(drop_files):
-            if os.path.exists(f):
-                os.remove(f)
+            self.fs.remove_if_exists(f)
         return {"expired_snapshots": len(expired), "deleted_files": len(drop_files)}
 
     def expire_changelog(self, older_than_day: str) -> dict[str, int]:
@@ -497,8 +483,7 @@ class ManifestParquetSink(Sink):
         n_files = 0
         for fl in dropped.values():
             for f in fl:
-                if os.path.exists(f):
-                    os.remove(f)
+                self.fs.remove_if_exists(f)
                 n_files += 1
         return {"expired_days": len(dropped), "deleted_files": n_files}
 
@@ -572,10 +557,10 @@ class ManifestParquetSink(Sink):
                 files = (
                     [
                         os.path.join(bdir, fn)
-                        for fn in sorted(os.listdir(bdir))
+                        for fn in self.fs.listdir(bdir)
                         if fn.endswith(".parquet")
                     ]
-                    if os.path.isdir(bdir)
+                    if self.fs.isdir(bdir)
                     else []
                 )
                 if files:
@@ -592,7 +577,7 @@ class ManifestParquetSink(Sink):
             ).write.mode("overwrite").parquet(bdir)
             buckets[b] = [
                 os.path.join(bdir, fn)
-                for fn in sorted(os.listdir(bdir))
+                for fn in self.fs.listdir(bdir)
                 if fn.endswith(".parquet")
             ]
         self._commit_manifest(
@@ -651,20 +636,18 @@ class ManifestParquetSink(Sink):
         deleted = 0
         for sub in ("data", "changelog"):
             base = os.path.join(self.root, sub)
-            if not os.path.isdir(base):
-                continue
-            for dirpath, _dirs, files in os.walk(base, topdown=False):
+            for dirpath, files in self.fs.walk_bottomup(base):
                 for fn in files:
                     p = os.path.join(dirpath, fn)
                     if (
                         fn.endswith(".parquet")
                         and p not in referenced
-                        and os.path.getmtime(p) <= cutoff
+                        and self.fs.getmtime(p) <= cutoff
                     ):
-                        os.remove(p)
+                        self.fs.remove(p)
                         deleted += 1
-                if not os.listdir(dirpath):
-                    os.rmdir(dirpath)
+                if not self.fs.listdir(dirpath):
+                    self.fs.rmdir(dirpath)
         return {"deleted_files": deleted}
 
     # -- schema evolution ----------------------------------------------------
@@ -742,10 +725,10 @@ class ManifestParquetSink(Sink):
                 }
                 for b in touched:
                     bdir = os.path.join(out_dir, f"_bucket={b}")
-                    if os.path.isdir(bdir):
+                    if self.fs.isdir(bdir):
                         files = [
                             os.path.join(bdir, fn)
-                            for fn in sorted(os.listdir(bdir))
+                            for fn in self.fs.listdir(bdir)
                             if fn.endswith(".parquet")
                         ]
                         if files:
@@ -836,10 +819,10 @@ class ManifestParquetSink(Sink):
             new_buckets: dict[str, list[str]] = {}
             for b in touched:
                 bdir = os.path.join(out_dir, f"_bucket={b}")
-                if os.path.isdir(bdir):
+                if self.fs.isdir(bdir):
                     files = [
                         os.path.join(bdir, fn)
-                        for fn in sorted(os.listdir(bdir))
+                        for fn in self.fs.listdir(bdir)
                         if fn.endswith(".parquet")
                     ]
                     if files:
@@ -879,14 +862,14 @@ class ManifestParquetSink(Sink):
             # prune at the file level for daily imports
             cl_dir = os.path.join(self.root, "changelog", f"s{snap:06d}")
             changelog.write.mode("overwrite").partitionBy("day_utc").parquet(cl_dir)
-            for entry in sorted(os.listdir(cl_dir)):
+            for entry in self.fs.listdir(cl_dir):
                 if not entry.startswith("day_utc="):
                     continue
                 d = entry.split("=", 1)[1]
                 ddir = os.path.join(cl_dir, entry)
                 changelog_files.setdefault(d, []).extend(
                     os.path.join(ddir, fn)
-                    for fn in sorted(os.listdir(ddir))
+                    for fn in self.fs.listdir(ddir)
                     if fn.endswith(".parquet")
                 )
 

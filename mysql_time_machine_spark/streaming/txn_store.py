@@ -82,26 +82,27 @@ and all routing switches to joins against it: the driver then holds no
 ids at all, and the pending snapshot / release split runs as ordinary
 distributed semi/anti joins.
 
-FILESYSTEM REQUIREMENT: snapshot parquet is written/read by Spark
-(driver + executors) while meta JSON uses driver-local ``os``/``json``
-on the SAME root — so the root must be a driver-local path that
-executors can also reach: local[*] mode, or a POSIX-mounted shared
-filesystem (NFS) visible to every node. A root with a non-file URI
-scheme (hdfs://, s3a://, ...) raises ValueError at construction rather
-than silently corrupting pending state; a DFS deployment should use the
-'state' buffer impl (Spark-managed state store) instead.
+FILESYSTEM: snapshot parquet is written/read by Spark (driver +
+executors) while meta JSON is small driver-side control state on the
+SAME root. Meta IO routes through ``fsio.MetaFS`` — direct ``os`` calls
+for plain/file:// roots, the JVM Hadoop FileSystem API for any DFS
+scheme (hdfs://, s3a://, ...) — so the store works wherever the
+executors can write parquet, local mode and real clusters alike.
+``fsio.py`` documents the object-store rename caveat; the 'state'
+buffer impl (Spark-managed state store) remains the alternative where
+even that is unacceptable.
 """
 
 from __future__ import annotations
 
 import json
 import os
-import shutil
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mysql_time_machine_spark.fsio import MetaFS
 from mysql_time_machine_spark.schema import EVENT_SCHEMA
 
 #: bump when the snapshot layout or semantics change — ApplyJob keys the
@@ -124,24 +125,17 @@ class TxnPendingStore:
         root: str,
         abandon_timeout: str | None = None,
         keep_last: int = 3,
+        fs: MetaFS | None = None,
     ):
-        scheme = root.split("://", 1)[0] if "://" in root else None
-        if scheme not in (None, "file"):
-            raise ValueError(
-                f"TxnPendingStore root {root!r} has scheme {scheme!r}: the "
-                "store mixes driver-local metadata IO with Spark parquet IO "
-                "and requires a driver-local path reachable by executors "
-                "(local mode or POSIX shared FS). On a DFS cluster use "
-                "txn_buffer_impl='state' instead."
-            )
         self.root = root
+        self.fs = fs or MetaFS(root)
         self.keep_last = max(2, keep_last)  # N-1 must survive while N runs
         self.timeout_ms = (
             None
             if abandon_timeout is None
             else int(pd.Timedelta(abandon_timeout).total_seconds() * 1000)
         )
-        os.makedirs(root, exist_ok=True)
+        self.fs.makedirs(root)
 
     # -- snapshot plumbing ---------------------------------------------------
     def _meta_path(self, epoch: int) -> str:
@@ -153,7 +147,7 @@ class TxnPendingStore:
     def _epochs(self) -> list[int]:
         return sorted(
             int(fn[5:-5])
-            for fn in os.listdir(self.root)
+            for fn in self.fs.listdir(self.root)
             if fn.startswith("meta-") and fn.endswith(".json")
         )
 
@@ -168,8 +162,7 @@ class TxnPendingStore:
         if not prior:
             return None
         e = prior[-1]
-        with open(self._meta_path(e)) as f:
-            return e, json.load(f)
+        return e, json.loads(self.fs.read_text(self._meta_path(e)))
 
     def pending_fragments(self, spark: SparkSession, epoch: int | None = None) -> DataFrame:
         """The still-open fragments as of snapshot ``epoch`` (default:
@@ -178,7 +171,7 @@ class TxnPendingStore:
         if not epochs:
             return spark.createDataFrame([], EVENT_SCHEMA)
         e = epochs[-1] if epoch is None else epoch
-        if not os.path.isdir(self._snap_path(e)):  # committed-empty snapshot
+        if not self.fs.isdir(self._snap_path(e)):  # committed-empty snapshot
             return spark.createDataFrame([], EVENT_SCHEMA)
         return spark.read.schema(EVENT_SCHEMA).parquet(self._snap_path(e))
 
@@ -208,7 +201,7 @@ class TxnPendingStore:
             prev_epoch, meta = prev
             prev_hwm = meta["hwm_ms"]
             ev_prev = {int(k): v for k, v in (meta.get("evicted") or {}).items()}
-            if os.path.isdir(self._snap_path(prev_epoch)):
+            if self.fs.isdir(self._snap_path(prev_epoch)):
                 pend_prev = spark.read.schema(EVENT_SCHEMA).parquet(
                     self._snap_path(prev_epoch)
                 )
@@ -307,7 +300,7 @@ class TxnPendingStore:
                     "overwrite"
                 ).parquet(snap)
             else:
-                shutil.rmtree(snap, ignore_errors=True)  # crashed half-write
+                self.fs.rmtree(snap)  # crashed half-write
             self._commit_meta(epoch_id, hwm, ev_prev, ev_new)
 
             # ONE scan emits released rows AND control events (a union of
@@ -378,13 +371,10 @@ class TxnPendingStore:
             meta["evicted"] = {str(t): int(ms) for t, ms in ev.items()}
         if overflow:
             meta["evicted_overflow"] = True
-        tmp = self._meta_path(epoch_id) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, self._meta_path(epoch_id))
+        self.fs.write_text_atomic(self._meta_path(epoch_id), json.dumps(meta))
         # retention AFTER the commit: N-1 (this epoch's lazy input) always
         # survives; only snapshots no plan can still reference are removed
         for e in self._epochs()[: -self.keep_last]:
-            shutil.rmtree(self._snap_path(e), ignore_errors=True)
-            shutil.rmtree(self._open_path(e), ignore_errors=True)
-            os.remove(self._meta_path(e))
+            self.fs.rmtree(self._snap_path(e))
+            self.fs.rmtree(self._open_path(e))
+            self.fs.remove(self._meta_path(e))

@@ -357,23 +357,3 @@ def test_evicted_then_committed_dropped_whole(spark, tmp_path_factory, impl):
         )
         with open(os.path.join(job.txn_store.root, metas[-1])) as fh:
             assert _json.load(fh).get("evicted") in (None, {})
-
-
-def test_pending_store_rejects_dfs_root(tmp_path):
-    """The jvm pending store mixes driver-local metadata IO with Spark
-    parquet IO on one root: a non-file scheme must fail fast at
-    construction, not corrupt state at the first epoch."""
-    from mysql_time_machine_spark.streaming.txn_store import TxnPendingStore
-
-    with pytest.raises(ValueError, match="txn_buffer_impl='state'"):
-        TxnPendingStore("hdfs://nn:8020/tmp/pending")
-    with pytest.raises(ValueError, match="scheme"):
-        TxnPendingStore("s3a://bucket/pending")
-    TxnPendingStore(str(tmp_path / "ok"))  # local path: fine
-
-
-def test_manifest_sink_rejects_dfs_root(spark):
-    from mysql_time_machine_spark.sinks.manifest import ManifestParquetSink as MPS
-
-    with pytest.raises(ValueError, match="IcebergSink"):
-        MPS(spark, "s3a://bucket/lake/repos")
