@@ -58,6 +58,7 @@ def child(cpus: int, binlog_dir: str, buffered: bool, log_dir: str) -> None:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": f"file://{log_dir}",
+            "spark.eventLog.compress": "false",
         },
     )
     n = (
@@ -90,12 +91,32 @@ def parse_eventlog(log_dir: str) -> dict:
         if not f.startswith(".")
     ]
     assert len(files) == 1, files
+    # Spark 4 rolling event logs are a DIRECTORY (eventlog_v2_<app>/
+    # events_1_<app>, ...); single-file logs are a plain file
+    if os.path.isdir(files[0]):
+        parts = sorted(
+            os.path.join(files[0], f)
+            for f in os.listdir(files[0])
+            if f.startswith("events")
+        )
+    else:
+        parts = files
     job_start: dict[int, tuple[float, str]] = {}
     jobs: list[tuple[float, float, str]] = []  # (start, end, site)
     task_ms = 0.0
     app_start = app_end = None
-    with open(files[0]) as f:
-        for line in f:
+    for part in parts:
+        if part.endswith(".zstd"):  # default codec when compress is on
+            import shutil
+
+            zstd = shutil.which("zstd") or "/root/miniconda/bin/zstd"
+            text = subprocess.run(
+                [zstd, "-dc", part], capture_output=True, text=True, check=True
+            ).stdout
+        else:
+            with open(part) as f:
+                text = f.read()
+        for line in text.splitlines():
             try:
                 e = json.loads(line)
             except json.JSONDecodeError:
@@ -106,9 +127,13 @@ def parse_eventlog(log_dir: str) -> dict:
             elif ev == "SparkListenerApplicationEnd":
                 app_end = e["Timestamp"] / 1000.0
             elif ev == "SparkListenerJobStart":
-                site = (e.get("Properties") or {}).get(
-                    "callSite.short", f"job{e['Job ID']}"
-                )
+                props = e.get("Properties") or {}
+                # ApplyJob labels its phases mtm:<name> via setJobDescription
+                # (streaming/job.py _phase) — far better attribution than the
+                # anonymous py4j callsite every Python-launched action gets
+                site = props.get("spark.job.description") or ""
+                if not site.startswith("mtm:"):
+                    site = props.get("callSite.short", f"job{e['Job ID']}")
                 job_start[e["Job ID"]] = (e["Submission Time"] / 1000.0, site)
             elif ev == "SparkListenerJobEnd" and e["Job ID"] in job_start:
                 s, site = job_start.pop(e["Job ID"])
@@ -167,6 +192,18 @@ def main() -> int:
     ev_m = with_txn_markers(ev, txn_width=TXN_WIDTH)
     _write_binlog_files(spark, ev_m, tmp, os.path.join(tmp, "binlog"), n_ep, file_of)
     spark.stop()
+    try:  # kill the lingering generator JVM (see stream_scaling.py)
+        from pyspark import SparkContext
+
+        gw = SparkContext._gateway
+        if gw is not None:
+            gw.shutdown()
+            if getattr(gw, "proc", None) is not None:
+                gw.proc.terminate()
+            SparkContext._gateway = None
+            SparkContext._jvm = None
+    except Exception:
+        pass
 
     results = {}
     for cpus in LEVELS:

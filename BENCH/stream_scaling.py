@@ -153,6 +153,21 @@ def main() -> int:
             spark, ev_marked, tmp, os.path.join(tmp, "binlog_marked"), n_ep, file_of
         )
     spark.stop()
+    # the generator JVM otherwise lingers (py4j gateway child of this
+    # process) and idles at fractional-core CPU through every measured
+    # cell below — kill it so trials run on a genuinely quiet box
+    try:
+        from pyspark import SparkContext
+
+        gw = SparkContext._gateway
+        if gw is not None:
+            gw.shutdown()
+            if getattr(gw, "proc", None) is not None:
+                gw.proc.terminate()
+            SparkContext._gateway = None
+            SparkContext._jvm = None
+    except Exception:
+        pass
     print(f"binlog dirs under {tmp}")
 
     trials: dict[tuple, list[dict]] = {}

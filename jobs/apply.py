@@ -51,7 +51,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--hot-key-split", type=int, default=8)
     p.add_argument("--collapse-impl", default="auto",
                    choices=("auto", "sql", "sorted", "pandas"),
-                   help="collapse kernel; auto = sorted for streaming (measured regime split)")
+                   help="collapse kernel; auto = sorted for small micro-batches, "
+                        "sql (aggregate-first) past EngineConfig.big_batch_rows")
+    p.add_argument("--merge-strategy", default="cow", choices=("cow", "mor"),
+                   help="sink write strategy: copy-on-write rewrites touched "
+                        "buckets per epoch; merge-on-read appends per-epoch "
+                        "delta files (bytes/epoch tracks the batch, not the "
+                        "table) resolved at read and folded by compaction")
     args = p.parse_args(argv)
 
     from mysql_time_machine_spark.config import EngineConfig
@@ -77,7 +83,9 @@ def main(argv: list[str] | None = None) -> int:
         hot_key_split=args.hot_key_split,
         collapse_impl=args.collapse_impl,
     )
-    sink = ManifestParquetSink(spark, args.sink_root, n_buckets=args.buckets)
+    sink = ManifestParquetSink(
+        spark, args.sink_root, n_buckets=args.buckets, merge_strategy=args.merge_strategy
+    )
     job = ApplyJob(spark, args.binlog_dir, sink, cfg, checkpoint_dir=args.checkpoint)
 
     t0 = time.time()

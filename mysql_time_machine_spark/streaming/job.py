@@ -26,11 +26,27 @@ operator state, carries exactly-once across restarts. State we DO keep
 
 from __future__ import annotations
 
+import contextlib
 import os
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+@contextlib.contextmanager
+def _phase(spark: SparkSession, name: str):
+    """Label every Spark job this thread launches until exit as ``mtm:<name>``.
+
+    Pure observability: the label shows in the Spark UI and event log, so
+    per-phase wall time is attributable (BENCH/stream_phase_profile.py).
+    Thread-local in the JVM — concurrent streams don't cross-label."""
+    sc = spark.sparkContext
+    try:
+        sc.setJobDescription(f"mtm:{name}")
+        yield
+    finally:
+        sc.setJobDescription(None)
 
 from mysql_time_machine_spark.config import EngineConfig
 from mysql_time_machine_spark.functions.core import classify_event, daily_bucket_utc
@@ -91,16 +107,18 @@ class ApplyJob:
         if self.txn_store is not None:
             # jvm txn buffering: release committed transactions (merging in
             # fragments left pending by earlier epochs), park straddlers
-            batch = self.txn_store.resolve(batch, epoch_id)
+            with _phase(self.spark, "txn-resolve"):
+                batch = self.txn_store.resolve(batch, epoch_id)
         batch = filter_events(batch, cfg)
         batch = batch.withColumn("_class", classify_event())
         tuned_arrow = False
         persisted = False
         try:
-            if batch.isEmpty():
-                # stateful upstream ops (txn buffer timeouts) can emit empty
-                # micro-batches; don't burn a snapshot commit on them
-                return
+            with _phase(self.spark, "empty-check"):
+                if batch.isEmpty():
+                    # stateful upstream ops (txn buffer timeouts) can emit
+                    # empty micro-batches; don't burn a snapshot commit
+                    return
             impl = cfg.resolved_collapse_impl("streaming")
             # (A3/A5) event-level metrics: consumed counts by class + max
             # replication delay, excluding ROTATE's ts=0 (CHANGES.txt:58-61).
@@ -117,7 +135,8 @@ class ApplyJob:
                 from mysql_time_machine_spark.functions.core import event_payload_bytes
 
                 aggs.append(F.avg(event_payload_bytes()).alias("avg_row_bytes"))
-            stats = batch.groupBy("_class").agg(*aggs).collect()
+            with _phase(self.spark, "stats-agg"):
+                stats = batch.groupBy("_class").agg(*aggs).collect()
             events_consumed = {r["_class"]: r["n"] for r in stats}
             if (
                 cfg.collapse_impl == "auto"
@@ -149,12 +168,13 @@ class ApplyJob:
                     tuned_arrow = True
 
             # (J0) DDL -> active schema; driver-side control flow, tiny
-            ddls = (
-                batch.where(F.col("_class") == "DDL")
-                .select("gtid_seq", "log_file", "log_pos", "ddl")
-                .sort("gtid_seq", "log_file", "log_pos")
-                .collect()
-            )
+            with _phase(self.spark, "ddl-collect"):
+                ddls = (
+                    batch.where(F.col("_class") == "DDL")
+                    .select("gtid_seq", "log_file", "log_pos", "ddl")
+                    .sort("gtid_seq", "log_file", "log_pos")
+                    .collect()
+                )
             for r in ddls:
                 self.registry.apply_ddl(r["ddl"], r["gtid_seq"])
             # always pin the sink's target schema to the active schema —
@@ -214,10 +234,14 @@ class ApplyJob:
                 "delay_basis_ts": str(max((r["max_ts"] for r in stats if r["max_ts"] is not None), default="")),
             }
             if cfg.dry_run:
-                collapsed.count()  # force the plan, no writes (S8)
+                with _phase(self.spark, "collapse-dryrun"):
+                    collapsed.count()  # force the plan, no writes (S8)
                 self.metrics.append({"epoch_id": epoch_id, **lineage, "dry_run": True})
                 return
-            committed = self.sink.merge(collapsed, epoch_id, lineage=lineage, changelog=changelog)
+            with _phase(self.spark, "collapse+merge"):
+                committed = self.sink.merge(
+                    collapsed, epoch_id, lineage=lineage, changelog=changelog
+                )
             self.metrics.append({"epoch_id": epoch_id, **lineage, "committed": committed})
         finally:
             if persisted:
