@@ -66,12 +66,26 @@ def child(cpus: int, pattern: str, log_dir: str) -> None:
     sc = spark.sparkContext
     cfg = EngineConfig(shuffle_partitions=64)
     walls = {}
+    stat = {}
+
+    def _snap():
+        f = open("/proc/stat").readline().split()
+        return [int(x) / 100.0 for x in f[1:9]]
 
     def phase(name, fn):
         sc.setJobDescription(f"mtm:{name}")
-        t0 = time.time()
+        s0, t0 = _snap(), time.time()
         fn()
         walls[name] = round(time.time() - t0, 2)
+        s1 = _snap()
+        # box-wide cpu-second deltas — attributable to this phase when
+        # the box is otherwise quiet (steal/other fields expose pollution)
+        stat[name] = {
+            "user": round(s1[0] - s0[0], 1),
+            "sys": round(s1[2] - s0[2], 1),
+            "iowait": round(s1[4] - s0[4], 1),
+            "steal": round(s1[7] - s0[7], 1),
+        }
         sc.setJobDescription(None)
 
     batch = spark.read.parquet(*files)
@@ -94,7 +108,7 @@ def child(cpus: int, pattern: str, log_dir: str) -> None:
     )
     collapsed = collapse_events_sql(rows)
     phase("merge", lambda: sink.merge(collapsed, epoch_id=1))
-    print(json.dumps({"cpus": cpus, "walls": walls}))
+    print(json.dumps({"cpus": cpus, "walls": walls, "proc_stat": stat}))
     spark.stop()
 
 

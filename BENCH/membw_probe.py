@@ -16,7 +16,16 @@ box, not by the engine — on a real cluster (the north rule's two
 CLUSTER sizes) each executor host brings its own memory bus, so this
 term does not transfer.
 
-Usage: python BENCH/membw_probe.py [levels...]   (default 1 2 4 8 16 32)
+Mode ``gather`` (second positional arg set of levels after the mode
+word): each worker does random-index gathers over a 128 MiB array —
+the memory-access shape of hash aggregation and shuffle hashing, which
+the sequential triad's prefetcher-friendly streams do not model. The
+streaming kernels' USER-cycle inflation at higher thread counts tracks
+this curve, not the sequential one.
+
+Usage:
+    python BENCH/membw_probe.py [levels...]          # sequential triad
+    python BENCH/membw_probe.py gather [levels...]   # random gather
 """
 
 from __future__ import annotations
@@ -50,6 +59,24 @@ def _worker(barrier, out, idx):
     out[idx] = gb / dt
 
 
+def _worker_gather(barrier, out, idx):
+    rng = np.random.default_rng(idx)
+    b = rng.random(N_ELEM)
+    perm = rng.integers(0, N_ELEM, size=N_ELEM // 4)  # 32 MiB of indices
+    a = np.take(b, perm)  # touch pages
+    barrier.wait()
+    t0 = time.perf_counter()
+    iters = 0
+    while time.perf_counter() - t0 < SECONDS:
+        np.take(b, perm, out=a)
+        iters += 1
+    dt = time.perf_counter() - t0
+    # each gathered element touches one 64B line of b (uniform random over
+    # 128 MiB) + sequential index read + sequential write
+    gb = iters * (perm.size * 64 + perm.size * 8 + perm.size * 8) / 2**30
+    out[idx] = gb / dt
+
+
 def cpu_mhz() -> float:
     mhz = [
         float(line.split(":")[1])
@@ -60,13 +87,18 @@ def cpu_mhz() -> float:
 
 
 def main() -> int:
-    levels = [int(x) for x in sys.argv[1:]] or [1, 2, 4, 8, 16, 32]
+    argv = sys.argv[1:]
+    worker = _worker
+    if argv and argv[0] == "gather":
+        worker = _worker_gather
+        argv = argv[1:]
+    levels = [int(x) for x in argv] or [1, 2, 4, 8, 16, 32]
     results = {}
     for n in levels:
         barrier = mp.Barrier(n + 1)
         out = mp.Array("d", n)
         procs = [
-            mp.Process(target=_worker, args=(barrier, out, i)) for i in range(n)
+            mp.Process(target=worker, args=(barrier, out, i)) for i in range(n)
         ]
         for p in procs:
             p.start()

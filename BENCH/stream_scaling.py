@@ -62,11 +62,29 @@ LEGS = tuple(os.environ.get("SPARK_GRAFT_LEGS", "marked_off,marked_on").split(",
 QUIET_THRESH = float(os.environ.get("SPARK_GRAFT_QUIET_THRESH", "4.0"))
 QUIET_WAIT = int(os.environ.get("SPARK_GRAFT_QUIET_WAIT", "600"))
 OUT_MD = os.environ.get("SPARK_GRAFT_STREAM_MD", "STREAM_SCALING_r6.md")
+#: sink write strategy for every leg: 'cow' (default) rewrites touched
+#: buckets per epoch — write cost ~ table size; 'mor' appends per-bucket
+#: delta files — write cost ~ batch size, the declared 100-TB shape
+#: (BENCH/MOR_MERGE_r6.md). The flagship scaling cell should measure the
+#: strategy the engine deploys at scale.
+MERGE_STRATEGY = os.environ.get("SPARK_GRAFT_MERGE_STRATEGY", "cow")
+#: reuse an already-generated log directory (the tmp root that holds
+#: binlog/ and binlog_marked/) instead of regenerating ~8 GB per run
+BINLOG_DIR = os.environ.get("SPARK_GRAFT_BINLOG_DIR", "")
 
 
 def load1() -> float:
     with open("/proc/loadavg") as f:
         return float(f.read().split()[0])
+
+
+def stat_snap() -> list[float]:
+    """Box-wide cpu-seconds by category from /proc/stat (user nice sys
+    idle iowait irq softirq steal). Steal is the co-tenant pollution the
+    loadavg guard CANNOT see: hypervisor-stolen cycles inflate a trial's
+    wall without raising guest load."""
+    with open("/proc/stat") as f:
+        return [int(x) / 100.0 for x in f.readline().split()[1:9]]
 
 
 def wait_quiet() -> float:
@@ -104,7 +122,12 @@ def child(cpus: int, binlog_dir: str, buffered: bool) -> None:
         write_changelog=False,
         buffer_transactions=buffered,
     )
-    sink = ManifestParquetSink(spark, os.path.join(tmp, "sink"), n_buckets=PARTITIONS)
+    sink = ManifestParquetSink(
+        spark,
+        os.path.join(tmp, "sink"),
+        n_buckets=PARTITIONS,
+        merge_strategy=MERGE_STRATEGY,
+    )
     t0 = time.time()
     # generous bound: a hit timeout would silently truncate the stream and
     # poison the measurement with a fast-but-wrong wall
@@ -137,37 +160,40 @@ def main() -> int:
     from mysql_time_machine_spark.session import get_spark
     from pyspark.sql import functions as F
 
-    tmp = tempfile.mkdtemp(prefix="mtm_stream_scaling_")
-    spark = get_spark("mtm-stream-scaling-gen", master="local[32]")
-    ev = amplified_events(spark, SF_DIR, AMPLIFY)
-    n_ep = 4
-    bounds = ev.approxQuantile("gtid_seq", [i / n_ep for i in range(1, n_ep)], 0.001)
-    file_of = F.lit(0)
-    for b in bounds:
-        file_of = file_of + (F.col("gtid_seq") > F.lit(b)).cast("int")
-    if "plain" in LEGS:
-        _write_binlog_files(spark, ev, tmp, os.path.join(tmp, "binlog"), n_ep, file_of)
-    if "marked_off" in LEGS or "marked_on" in LEGS:
-        ev_marked = with_txn_markers(ev, txn_width=TXN_WIDTH)
-        _write_binlog_files(
-            spark, ev_marked, tmp, os.path.join(tmp, "binlog_marked"), n_ep, file_of
-        )
-    spark.stop()
-    # the generator JVM otherwise lingers (py4j gateway child of this
-    # process) and idles at fractional-core CPU through every measured
-    # cell below — kill it so trials run on a genuinely quiet box
-    try:
-        from pyspark import SparkContext
+    if BINLOG_DIR:
+        tmp = BINLOG_DIR
+    else:
+        tmp = tempfile.mkdtemp(prefix="mtm_stream_scaling_")
+        spark = get_spark("mtm-stream-scaling-gen", master="local[32]")
+        ev = amplified_events(spark, SF_DIR, AMPLIFY)
+        n_ep = 4
+        bounds = ev.approxQuantile("gtid_seq", [i / n_ep for i in range(1, n_ep)], 0.001)
+        file_of = F.lit(0)
+        for b in bounds:
+            file_of = file_of + (F.col("gtid_seq") > F.lit(b)).cast("int")
+        if "plain" in LEGS:
+            _write_binlog_files(spark, ev, tmp, os.path.join(tmp, "binlog"), n_ep, file_of)
+        if "marked_off" in LEGS or "marked_on" in LEGS:
+            ev_marked = with_txn_markers(ev, txn_width=TXN_WIDTH)
+            _write_binlog_files(
+                spark, ev_marked, tmp, os.path.join(tmp, "binlog_marked"), n_ep, file_of
+            )
+        spark.stop()
+        # the generator JVM otherwise lingers (py4j gateway child of this
+        # process) and idles at fractional-core CPU through every measured
+        # cell below — kill it so trials run on a genuinely quiet box
+        try:
+            from pyspark import SparkContext
 
-        gw = SparkContext._gateway
-        if gw is not None:
-            gw.shutdown()
-            if getattr(gw, "proc", None) is not None:
-                gw.proc.terminate()
-            SparkContext._gateway = None
-            SparkContext._jvm = None
-    except Exception:
-        pass
+            gw = SparkContext._gateway
+            if gw is not None:
+                gw.shutdown()
+                if getattr(gw, "proc", None) is not None:
+                    gw.proc.terminate()
+                SparkContext._gateway = None
+                SparkContext._jvm = None
+        except Exception:
+            pass
     print(f"binlog dirs under {tmp}")
 
     trials: dict[tuple, list[dict]] = {}
@@ -185,6 +211,7 @@ def main() -> int:
                     os.environ,
                     SPARK_DRIVER_MEMORY=os.environ.get("SPARK_DRIVER_MEMORY", "32g"),
                 )
+                s0 = stat_snap()
                 out = subprocess.run(
                     [
                         sys.executable, os.path.abspath(__file__), "--child",
@@ -192,9 +219,15 @@ def main() -> int:
                     ],
                     capture_output=True, text=True, cwd=REPO, timeout=7200, env=env,
                 )
+                s1 = stat_snap()
                 line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
                 r = json.loads(line)
                 r["load_start"], r["load_end"], r["round"] = ld_start, load1(), rnd
+                # box-wide cpu-second deltas over the trial: steal = cycles
+                # the hypervisor gave a co-tenant while this trial ran
+                r["user_s"] = round(s1[0] - s0[0], 1)
+                r["sys_s"] = round(s1[2] - s0[2], 1)
+                r["steal_s"] = round(s1[7] - s0[7], 1)
                 print(json.dumps(r), flush=True)
                 trials.setdefault((leg, cpus), []).append(r)
         # write (and rewrite) the report after EVERY round: a cut-short
@@ -219,9 +252,12 @@ def write_report(trials: dict[tuple, list[dict]], rounds_done: int) -> None:
         "All legs stream gtid-quantile-cut epoch files (binlog order). The",
         f"marked legs carry BEGIN/COMMIT-wrapped {TXN_WIDTH}-row transactions that",
         "straddle micro-batch boundaries; marked_on resolves them with the",
-        "JVM pending store (txn_buffer_impl='jvm'). Load guard: each trial",
+        f"JVM pending store (txn_buffer_impl='jvm'). Sink merge strategy:",
+        f"**{MERGE_STRATEGY}**. Load guard: each trial",
         f"waited up to {QUIET_WAIT}s for 1-min loadavg < {QUIET_THRESH} before",
-        "launching; the raw-trials table shows the loadavg each trial got.",
+        "launching; the raw-trials table shows the loadavg each trial got,",
+        "plus the box-wide sys and hypervisor-steal cpu-seconds over the",
+        "trial (steal = co-tenant pollution invisible to loadavg).",
         "",
         "| leg | local[{}] (N) | ev/s | local[{}] (4N) | ev/s | eff N->4N |".format(*LEVELS),
         "|---|---|---|---|---|---|",
@@ -243,6 +279,11 @@ def write_report(trials: dict[tuple, list[dict]], rounds_done: int) -> None:
     for (leg, cpus), cell in sorted(trials.items()):
         cells = ", ".join(
             f"{r['wall_sec']}s @ {r['load_start']:.1f}->{r['load_end']:.1f}"
+            + (
+                f" (sys {r['sys_s']:.0f}s, steal {r['steal_s']:.0f}s)"
+                if "steal_s" in r
+                else ""
+            )
             for r in cell
         )
         lines.append(f"| {leg} | local[{cpus}] | {cells} |")
