@@ -548,6 +548,54 @@ def _dedup_stream_exact(spark, sf_dir):
     return exact_dedup_stream(spark, f"{sf_dir}/documents.parquet", sink_dir=sink_dir)
 
 
+def _dedup_stream_minhash(spark, sf_dir):
+    """Streaming NEAR-dup dedup through the incremental MinHash-LSH index
+    (``minhash_dedup_stream``): the corpus is split into three
+    doc_id-ordered drop files and streamed one file per trigger, so the
+    run genuinely exercises multi-batch index growth — batch 1 indexes a
+    cold store, batches 2-3 band-join their arrivals against the postings
+    written by earlier batches (bucket-pruned reads). The final verdict
+    table is a pure function of the corpus: dup_of = min earlier
+    band-sharing doc with true shingle Jaccard >= t — exactly what the
+    batch LSH oracle computes, so convergence of the incremental path to
+    the one-shot answer is the gated property."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from mysql_time_machine_spark.operators.dedup import minhash_dedup_stream
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"{tempfile.gettempdir()}/mtm_minhash_stream_{tag}_{os.getpid()}"
+    shutil.rmtree(root, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents")
+    b1, b2 = docs.approxQuantile("doc_id", [1 / 3, 2 / 3], 0.0)
+    drops = os.path.join(root, "drops")
+    os.makedirs(drops)
+    cuts = [(None, b1), (b1, b2), (b2, None)]
+    for i, (lo, hi) in enumerate(cuts):
+        part = docs
+        if lo is not None:
+            part = part.where(F.col("doc_id") > lo)
+        if hi is not None:
+            part = part.where(F.col("doc_id") <= hi)
+        staged = os.path.join(root, f"_stage{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(staged)
+        src = [f for f in os.listdir(staged) if f.endswith(".parquet")][0]
+        shutil.move(os.path.join(staged, src), os.path.join(drops, f"drop-{i:03d}.parquet"))
+    out = minhash_dedup_stream(
+        spark,
+        drops,
+        sink_dir=os.path.join(root, "sink"),
+        n_hashes=16,
+        bands=4,
+        threshold=0.2,
+        max_files_per_trigger=1,
+    )
+    return out.select("doc_id", "dup_of", "kept")
+
+
 def _curate_with_neardup(spark, sf_dir):
     """The full curation ladder with the near-dup tier plugged in:
     exact-dup canon > MinHash-LSH + connected-components cluster losers
@@ -658,6 +706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_verdicts": _curate_verdicts,
         "curate_with_neardup": _curate_with_neardup,
         "dedup_stream_exact": _dedup_stream_exact,
+        "dedup_stream_minhash": _dedup_stream_minhash,
         "cdc_mor_read": _cdc_mor_read,
         "mm_media_features": _mm_media_features,
     }
@@ -1066,6 +1115,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS text_md5, min(doc_id) AS canonical_id,
                    count(*) AS n_copies
             FROM documents GROUP BY md5(text)
+        """,
+        # the incremental LSH index must converge to the batch rule:
+        # dup_of = min earlier band-sharing doc with Jaccard >= t
+        "dedup_stream_minhash": f"""
+            WITH {_LSH_CTES},
+            lsh_pairs AS ({_LSH_PAIRS_SELECT})
+            SELECT d.doc_id, p.dup_of, p.dup_of IS NULL AS kept
+            FROM documents d
+            LEFT JOIN (SELECT b_id AS doc_id, min(a_id) AS dup_of
+                       FROM lsh_pairs GROUP BY b_id) p USING (doc_id)
         """,
         "dedup_fingerprint": f"""
             SELECT md5(array_to_string({t}, ' ')) AS fp,

@@ -851,3 +851,294 @@ def embedding_dup_pairs_ivf(
         .where(F.col("cos") >= threshold)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# 8: streaming MinHash-LSH near-dup (incremental index)
+# ---------------------------------------------------------------------------
+
+
+def minhash_dedup_stream(
+    spark,
+    source_path: str,
+    sink_dir: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_files_per_trigger: int = 2,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Streaming NEAR-dup dedup: an incremental MinHash-LSH index.
+
+    ``exact_dedup_stream`` folds arriving documents into an exact-content
+    store; this is its near-dup sibling — each micro-batch of new
+    documents is banded, checked against everything already indexed, and
+    the index grows by exactly the batch. Per document the verdict is
+
+        (doc_id, dup_of, kept)
+
+    where ``dup_of`` is the SMALLEST earlier doc id that shares at least
+    one LSH band bucket AND verifies at true shingle Jaccard >=
+    ``threshold`` (NULL -> ``kept`` = true). Arrival order is the
+    semantic order: the operator assumes drops arrive in nondecreasing
+    ``id_col`` order (the natural layout for append-only corpus drops —
+    enforced by the caller's file naming), which makes the final verdict
+    table a PURE FUNCTION of the corpus, equal to the batch rule "min
+    earlier band-sharing neighbor with Jaccard >= t" — the property the
+    contract oracle checks (``dedup_stream_minhash``). A smaller id
+    arriving after a larger one would be indexed correctly but could not
+    retroactively flip the earlier document's verdict — online dedup
+    never re-litigates shipped verdicts.
+
+    Index layout under ``sink_dir`` (all bucket-granular CoW, the same
+    store pattern as ``exact_dedup_stream`` — and the same SIZING RULE:
+    ``n_buckets`` must exceed the distinct band-buckets a micro-batch
+    touches, or every batch rewrites the whole band store):
+
+    * ``bands/_bucket=H/``  — (band, bucket, doc_id): the LSH postings.
+      A batch reads ONLY the ``_bucket`` dirs its own band hashes touch
+      (file-pruned candidate lookup; the collected ids are bucket
+      NUMBERS, <= n_buckets of them — control-plane, never data).
+    * ``docs/_bucket=H/``   — (doc_id, shm): the distinct-shingle digest
+      arrays for Jaccard verification; read only for the buckets holding
+      candidate counterpart ids.
+    * ``verdicts/_epoch=N/`` — the per-batch verdicts, written with
+      dynamic partition overwrite so a replayed micro-batch (crash
+      between sink write and checkpoint commit) rewrites its own
+      partition — idempotent, like every sink in this package.
+
+    Candidate discovery is the batch operator's banded equi-join, split
+    across the batch boundary: new-vs-indexed via the postings store,
+    new-vs-new via a self-join on the batch's own bands — together
+    exactly the pairs the one-shot join would emit, never all-pairs.
+    Reference: CHANGES.txt:49-53 (the replicator's incremental-validation
+    pattern: verify arrivals against accumulated state, never recompute
+    the world).
+    """
+    import json as _json
+    import os as _os
+
+    from mysql_time_machine_spark.fsio import MetaFS
+
+    rows_per_band = n_hashes // bands
+    fs = MetaFS(sink_dir, spark)
+    meta_path = _os.path.join(sink_dir, "_store_meta.json")
+    if fs.exists(meta_path):
+        meta = _json.loads(fs.read_text(meta_path))
+        n_buckets = int(meta["n_buckets"])
+        if (meta["n_hashes"], meta["bands"], meta["n"]) != (n_hashes, bands, n):
+            raise ValueError(
+                f"store at {sink_dir} was built with "
+                f"(n_hashes={meta['n_hashes']}, bands={meta['bands']}, n={meta['n']}); "
+                "resuming with different LSH parameters would make old "
+                "postings unmatchable — use a fresh sink_dir"
+            )
+    else:
+        fs.makedirs(sink_dir)
+        fs.write_text_atomic(
+            meta_path,
+            _json.dumps(
+                {"n_buckets": n_buckets, "n_hashes": n_hashes, "bands": bands, "n": n}
+            ),
+        )
+
+    bands_store = _os.path.join(sink_dir, "bands")
+    docs_store = _os.path.join(sink_dir, "docs")
+    verdicts_store = _os.path.join(sink_dir, "verdicts")
+
+    def _hash_bucket(col):  # md5-hex prefix -> store bucket number
+        return F.pmod(
+            F.conv(F.substring(F.md5(col), 1, 6), 16, 10).cast("long"),
+            F.lit(n_buckets),
+        ).cast("int")
+
+    def _read_buckets(store: str, touched: list[int]):
+        dirs = [f"{store}/_bucket={b}" for b in touched if fs.isdir(f"{store}/_bucket={b}")]
+        if not dirs:
+            return None
+        return spark.read.option("basePath", store).parquet(*dirs)
+
+    def _cow_upsert(store: str, new_rows: DataFrame, key_cols: list[str]) -> None:
+        new_rows.persist()
+        try:
+            touched = [r["_bucket"] for r in new_rows.select("_bucket").distinct().collect()]
+            if not touched:
+                return
+            merged = new_rows
+            old = _read_buckets(store, touched)
+            if old is not None:
+                kept = old.join(new_rows.select(*key_cols).distinct(), key_cols, "left_anti")
+                merged = kept.unionByName(new_rows)
+            snap = merged.localCheckpoint(eager=True)
+            try:
+                snap.write.mode("overwrite").option(
+                    "partitionOverwriteMode", "dynamic"
+                ).partitionBy("_bucket").parquet(store)
+            finally:
+                snap.unpersist()
+        finally:
+            new_rows.unpersist()
+
+    def _apply(batch: DataFrame, epoch_id: int) -> None:
+        # one projection boundary per derivation stage + persist: Catalyst
+        # has no CSE across array HOFs (CollapseProject re-inlines), so the
+        # signature work must be pinned before it fans out to banding,
+        # self-join, and verification
+        shm_df = batch.select(
+            F.col(id_col).alias("doc_id"),
+            F.transform(word_shingles(text_col, n), lambda s: F.md5(s)).alias("shm"),
+        )
+        sig = shm_df.select(
+            "doc_id",
+            "shm",
+            F.array(
+                *[
+                    F.array_min(
+                        F.transform("shm", lambda m: F.md5(F.concat(F.lit(f"{k}:"), m)))
+                    )
+                    for k in range(n_hashes)
+                ]
+            ).alias("mh"),
+        ).persist()
+        new_bands = sig.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(bi).alias("band"),
+                            F.md5(
+                                F.array_join(
+                                    F.slice("mh", bi * rows_per_band + 1, rows_per_band),
+                                    "|",
+                                )
+                            ).alias("bucket"),
+                        )
+                        for bi in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(
+            "doc_id", "bb.band", "bb.bucket", _hash_bucket(F.col("bb.bucket")).alias("_bucket")
+        ).persist()
+        try:
+            touched = [
+                r["_bucket"] for r in new_bands.select("_bucket").distinct().collect()
+            ]
+            old_bands = _read_buckets(bands_store, touched)
+            # new-vs-indexed candidates (postings join, bucket-pruned read)
+            cand_parts = []
+            if old_bands is not None:
+                cand_parts.append(
+                    new_bands.alias("nb")
+                    .join(old_bands.alias("ob"), ["band", "bucket"])
+                    .select(
+                        F.col("nb.doc_id").alias("doc_id"),
+                        F.col("ob.doc_id").alias("other_id"),
+                    )
+                )
+            # new-vs-new candidates (the batch's own banded self-join)
+            cand_parts.append(
+                new_bands.alias("a")
+                .join(new_bands.alias("b"), ["band", "bucket"])
+                .where(F.col("b.doc_id") < F.col("a.doc_id"))
+                .select(
+                    F.col("a.doc_id").alias("doc_id"),
+                    F.col("b.doc_id").alias("other_id"),
+                )
+            )
+            cand = cand_parts[0]
+            for p in cand_parts[1:]:
+                cand = cand.unionByName(p)
+            cand = cand.distinct().localCheckpoint(eager=True)
+
+            # verification Jaccard over digest arrays: new side from sig,
+            # indexed side from the docs store (bucket-pruned by the
+            # candidate counterpart ids)
+            other_sh = sig.select(
+                F.col("doc_id").alias("other_id"), F.col("shm").alias("other_sh")
+            )
+            touched_docs = [
+                r["_b"]
+                for r in cand.select(
+                    _hash_bucket(F.col("other_id").cast("string")).alias("_b")
+                ).distinct().collect()
+            ]
+            old_docs = _read_buckets(docs_store, touched_docs)
+            if old_docs is not None:
+                other_sh = other_sh.unionByName(
+                    old_docs.select(
+                        F.col("doc_id").alias("other_id"), F.col("shm").alias("other_sh")
+                    )
+                )
+            verified = (
+                cand.join(sig.select("doc_id", "shm"), "doc_id")
+                .join(other_sh.dropDuplicates(["other_id"]), "other_id")
+            )
+            inter = F.size(F.array_intersect("shm", "other_sh"))
+            union = F.size(F.array_union("shm", "other_sh"))
+            dup_of = (
+                verified.where(
+                    (inter / F.greatest(union, F.lit(1))) >= F.lit(threshold)
+                )
+                .groupBy("doc_id")
+                .agg(F.min("other_id").alias("dup_of"))
+            )
+            verdicts = (
+                sig.select("doc_id")
+                .join(dup_of, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    "dup_of",
+                    F.col("dup_of").isNull().alias("kept"),
+                    F.lit(int(epoch_id)).alias("_epoch"),
+                )
+            )
+            verdicts.write.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
+            ).partitionBy("_epoch").parquet(verdicts_store)
+
+            # grow the index by exactly this batch (idempotent on replay)
+            _cow_upsert(bands_store, new_bands.select("band", "bucket", "doc_id", "_bucket"), ["band", "bucket", "doc_id"])
+            _cow_upsert(
+                docs_store,
+                sig.select(
+                    "doc_id", "shm", _hash_bucket(F.col("doc_id").cast("string")).alias("_bucket")
+                ),
+                ["doc_id"],
+            )
+        finally:
+            new_bands.unpersist()
+            sig.unpersist()
+
+    static = spark.read.parquet(source_path)
+    reader = spark.readStream.schema(static.schema).option(
+        "maxFilesPerTrigger", max_files_per_trigger
+    )
+    if _os.path.isfile(source_path):
+        base, fname = _os.path.split(source_path)
+        stream = reader.option("pathGlobFilter", fname).parquet(base)
+    else:
+        stream = reader.parquet(source_path)
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", _os.path.join(sink_dir, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # a zero-data source either runs no batch (no store dir) or one empty
+    # batch (a store dir holding only _SUCCESS — no partitions to infer a
+    # schema from); both return the empty verdict shape, typed off id_col
+    has_epochs = fs.isdir(verdicts_store) and any(
+        e.startswith("_epoch=") for e in fs.listdir(verdicts_store)
+    )
+    if not has_epochs:
+        id_type = dict(static.dtypes)[id_col]
+        return spark.createDataFrame(
+            [], f"doc_id {id_type}, dup_of {id_type}, kept boolean"
+        )
+    return spark.read.parquet(verdicts_store).drop("_epoch")
