@@ -166,6 +166,37 @@ def main() -> int:
         "signature cache unpersisted — see operators/dedup.py and the\n"
         "round-1 snapshot for the banded-join plan shape, unchanged)\n```\n"
     )
+    # streaming minhash: run once on a tiny corpus so a real postings store
+    # exists, then snapshot the candidate-lookup shape its _apply builds —
+    # the scan must list ONLY the probed _bucket dirs (file-pruned store)
+    from pyspark.sql import Row
+
+    from mysql_time_machine_spark.operators.dedup import minhash_dedup_stream
+
+    mh_root = tempfile.mkdtemp(prefix="plan_mhstream_")
+    mh_src = os.path.join(mh_root, "drops")
+    spark.createDataFrame(
+        [
+            Row(doc_id=i, text=f"alpha bravo charlie delta echo foxtrot golf v{i % 3} tail")
+            for i in range(12)
+        ]
+    ).coalesce(1).write.parquet(mh_src)
+    minhash_dedup_stream(
+        spark, mh_src, sink_dir=os.path.join(mh_root, "sink"), threshold=0.2, n_buckets=8
+    )
+    import glob as _glob
+
+    bands_store = os.path.join(mh_root, "sink", "bands")
+    probed = sorted(_glob.glob(bands_store + "/_bucket=*"))[:2]
+    postings = spark.read.option("basePath", bands_store).parquet(*probed)
+    probe = spark.createDataFrame([Row(band=0, bucket="0" * 32, doc_id=99)])
+    out.append(cap(
+        "streaming minhash candidate lookup (minhash_dedup_stream._apply: the "
+        "postings scan lists ONLY the batch's touched _bucket dirs — here 2 of "
+        "8 — then a plain (band,bucket) hash join; verdicts and store growth "
+        "are the same epoch-partitioned idempotent writes every sink uses)",
+        probe.join(postings, ["band", "bucket"]),
+    ))
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("".join(out))
     print("wrote BENCH/PLANS.md")
