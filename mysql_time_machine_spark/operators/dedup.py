@@ -1032,9 +1032,17 @@ def minhash_dedup_stream(
             # new-vs-indexed candidates (postings join, bucket-pruned read)
             cand_parts = []
             if old_bands is not None:
+                # other_id < doc_id: under monotone arrival every genuinely
+                # earlier doc has a smaller id, so this drops nothing legit —
+                # while a replayed batch (crash between the store writes and
+                # the checkpoint commit) finds ITS OWN postings already
+                # indexed, and without the bound each doc would pair with
+                # itself (dup_of = doc_id) and with same-batch peers through
+                # the store, breaking replay idempotence
                 cand_parts.append(
                     new_bands.alias("nb")
                     .join(old_bands.alias("ob"), ["band", "bucket"])
+                    .where(F.col("ob.doc_id") < F.col("nb.doc_id"))
                     .select(
                         F.col("nb.doc_id").alias("doc_id"),
                         F.col("ob.doc_id").alias("other_id"),

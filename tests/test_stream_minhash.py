@@ -159,3 +159,34 @@ def test_stream_minhash_empty_source(spark, tmp_path):
     out = minhash_dedup_stream(spark, src, sink_dir=str(tmp_path / "sink"))
     assert out.count() == 0
     assert dict(out.dtypes) == {"doc_id": "bigint", "dup_of": "bigint", "kept": "boolean"}
+
+
+def test_stream_minhash_full_replay_over_populated_store_idempotent(spark, tmp_path):
+    """Crash-replay torture: wipe the CHECKPOINT (not the stores) after a
+    complete run, so every micro-batch replays against an index that
+    already contains the whole corpus — including ids >= the replaying
+    batch. Verdicts must come out identical (no self-pairs, no
+    forward-id matches through the contaminated store) and the stores
+    must stay duplicate-free."""
+    import shutil
+
+    from mysql_time_machine_spark.operators.dedup import minhash_dedup_stream
+
+    rows = _corpus()
+    src = str(tmp_path / "drops")
+    sink = str(tmp_path / "sink")
+    _write_drops(spark, rows, src, 3)
+    first = _snap(
+        minhash_dedup_stream(
+            spark, src, sink_dir=sink, threshold=0.2, max_files_per_trigger=1, n_buckets=16
+        )
+    )
+    shutil.rmtree(f"{sink}/_checkpoint")
+    replayed = _snap(
+        minhash_dedup_stream(
+            spark, src, sink_dir=sink, threshold=0.2, max_files_per_trigger=1, n_buckets=16
+        )
+    )
+    assert replayed == first == _expected(spark, spark.read.parquet(src))
+    docs_store = spark.read.parquet(f"{sink}/docs")
+    assert docs_store.count() == docs_store.select("doc_id").distinct().count() == len(rows)
