@@ -56,6 +56,15 @@ PARTITIONS = 64
 #: comma-sep subset of plain,marked_off,marked_on (default: the two the
 #: r6 gate needs — the same-input control and the flagship buffered path)
 LEGS = tuple(os.environ.get("SPARK_GRAFT_LEGS", "marked_off,marked_on").split(","))
+_KNOWN_LEGS = ("plain", "marked_off", "marked_on")
+if any(leg not in _KNOWN_LEGS for leg in LEGS):
+    # fail NOW: an unknown leg would never enter `trials`, the
+    # all-cells-present report guard would stay false forever, and an
+    # hours-long run would exit 0 having written no report at all
+    raise SystemExit(
+        f"SPARK_GRAFT_LEGS={','.join(LEGS)!r}: unknown leg "
+        f"(choose from {', '.join(_KNOWN_LEGS)})"
+    )
 #: load guard: wait up to QUIET_WAIT sec for load1 < QUIET_THRESH before
 #: each trial (0 disables). The trial runs regardless once the wait
 #: expires — the report shows the load it actually got.

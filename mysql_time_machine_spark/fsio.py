@@ -199,14 +199,39 @@ class MetaFS:
             opts = self._gateway.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
             opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
             fc.rename(self._jpath(src), self._jpath(dst), opts)
-        except Exception:
-            # no AbstractFileSystem binding for this scheme: delete+rename
-            # (non-atomic window; acceptable for schemes that were a hard
-            # ValueError before this shim existed)
+        except Exception as e:
+            # Fall back ONLY when the scheme has no AbstractFileSystem
+            # binding (FileContext unavailable — e.g. s3a). Any OTHER
+            # failure (HDFS safe mode, lease, permissions — often
+            # transient) must surface as-is: treating it as
+            # "unsupported" and deleting dst first could destroy the
+            # committed pointer and then fail the rename for the same
+            # transient reason, bricking the table.
+            name = ""
+            je = getattr(e, "java_exception", None)
+            if je is not None:
+                try:
+                    name = je.getClass().getName()
+                except Exception:
+                    pass
+            if "UnsupportedFileSystem" not in name and "UnsupportedFileSystem" not in str(e):
+                raise
+            # non-atomic fallback, made crash-safe: move dst ASIDE (never
+            # delete-first), rename src into place, restore the aside on
+            # failure, drop it on success
             fs = self._fs(dst)
-            fs.delete(self._jpath(dst), False)
-            if not fs.rename(self._jpath(src), self._jpath(dst)):
+            dst_p = self._jpath(dst)
+            aside = None
+            if fs.exists(dst_p):
+                aside = self._jpath(f"{dst}.replaced.{uuid.uuid4().hex[:8]}")
+                if not fs.rename(dst_p, aside):
+                    raise OSError(f"rename-aside of {dst!r} failed")
+            if not fs.rename(self._jpath(src), dst_p):
+                if aside is not None:
+                    fs.rename(aside, dst_p)  # restore the old pointer
                 raise OSError(f"rename {src!r} -> {dst!r} failed")
+            if aside is not None:
+                fs.delete(aside, False)
 
     # -- deletion -------------------------------------------------------------
     def remove(self, path: str) -> None:

@@ -929,19 +929,32 @@ def minhash_dedup_stream(
     if fs.exists(meta_path):
         meta = _json.loads(fs.read_text(meta_path))
         n_buckets = int(meta["n_buckets"])
-        if (meta["n_hashes"], meta["bands"], meta["n"]) != (n_hashes, bands, n):
+        # threshold is pinned too: already-shipped epochs judged at the old
+        # t cannot be re-judged, so a resume at a different t would make
+        # the verdict table a MIXED-threshold artifact instead of a pure
+        # function of the corpus (the property the oracle gates)
+        if (meta["n_hashes"], meta["bands"], meta["n"], meta["threshold"]) != (
+            n_hashes, bands, n, threshold,
+        ):
             raise ValueError(
                 f"store at {sink_dir} was built with "
-                f"(n_hashes={meta['n_hashes']}, bands={meta['bands']}, n={meta['n']}); "
-                "resuming with different LSH parameters would make old "
-                "postings unmatchable — use a fresh sink_dir"
+                f"(n_hashes={meta['n_hashes']}, bands={meta['bands']}, "
+                f"n={meta['n']}, threshold={meta['threshold']}); resuming with "
+                "different LSH parameters would make old postings "
+                "unmatchable (or mix verdict thresholds) — use a fresh sink_dir"
             )
     else:
         fs.makedirs(sink_dir)
         fs.write_text_atomic(
             meta_path,
             _json.dumps(
-                {"n_buckets": n_buckets, "n_hashes": n_hashes, "bands": bands, "n": n}
+                {
+                    "n_buckets": n_buckets,
+                    "n_hashes": n_hashes,
+                    "bands": bands,
+                    "n": n,
+                    "threshold": threshold,
+                }
             ),
         )
 

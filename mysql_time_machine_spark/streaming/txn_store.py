@@ -329,9 +329,17 @@ class TxnPendingStore:
         alive = open_all.where(F.col("_ts") >= cut) if cut is not None else open_all
         if cut is not None:
             # grace entries for evicted ids, capped: overflow ids lose
-            # drop-whole protection (documented; meta records the overflow)
+            # drop-whole protection (documented; meta records the overflow).
+            # The cap is taken NEWEST-FIRST (then txn_id for total order):
+            # an unordered limit() would protect a plan-dependent arbitrary
+            # subset — different between a crashed attempt and its replay —
+            # and the newest evictions are the ones most likely to see a
+            # late COMMIT anyway
             evict_rows = (
-                open_all.where(F.col("_ts") < cut).limit(CONTROL_CAP + 1).collect()
+                open_all.where(F.col("_ts") < cut)
+                .orderBy(F.col("_ts").desc(), F.col("txn_id"))
+                .limit(CONTROL_CAP + 1)
+                .collect()
             )
             ev_new = {r["txn_id"]: hwm for r in evict_rows[:CONTROL_CAP]}
             if len(evict_rows) > CONTROL_CAP:

@@ -147,6 +147,9 @@ def test_stream_minhash_param_mismatch_raises(spark, tmp_path):
     minhash_dedup_stream(spark, src, sink_dir=sink, threshold=0.2, n_buckets=16)
     with pytest.raises(ValueError, match="n_hashes"):
         minhash_dedup_stream(spark, src, sink_dir=sink, n_hashes=32, threshold=0.2)
+    # a different threshold would mix verdict regimes across epochs
+    with pytest.raises(ValueError, match="threshold"):
+        minhash_dedup_stream(spark, src, sink_dir=sink, threshold=0.5)
 
 
 def test_stream_minhash_empty_source(spark, tmp_path):
