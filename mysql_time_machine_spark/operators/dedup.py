@@ -361,6 +361,40 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _minhash_from_shm(shm, n_hashes: int) -> F.Column:
+    """K minhashes over an array of shingle DIGESTS: min over shingles of
+    md5(k || ':' || md5(shingle)). The single source of the signature
+    math — the batch LSH operator, the streaming index, and the public
+    ``minhash_signature`` all build from here, so they cannot drift
+    (a one-bit divergence would silently desynchronize the streaming
+    index from the batch oracle)."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shm, lambda m: F.md5(F.concat(F.lit(f"{k}:"), m))))
+            for k in range(n_hashes)
+        ]
+    )
+
+
+def _band_structs(mh, n_hashes: int, bands: int) -> F.Column:
+    """array<struct<band:int, bucket:string>>: the banded LSH buckets of a
+    signature — md5 over the '|'-joined R-hash slice per band. Shared by
+    the batch pair generator and the streaming index (same drift
+    argument as ``_minhash_from_shm``)."""
+    rows_per_band = n_hashes // bands
+    return F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.md5(
+                    F.array_join(F.slice(mh, bi * rows_per_band + 1, rows_per_band), "|")
+                ).alias("bucket"),
+            )
+            for bi in range(bands)
+        ]
+    )
+
+
 def minhash_signature(text_col: str, n_hashes: int = 16, n: int = 3) -> F.Column:
     """K minhashes: min over shingles of md5(k || ':' || md5(shingle)).
 
@@ -369,12 +403,7 @@ def minhash_signature(text_col: str, n_hashes: int = 16, n: int = 3) -> F.Column
     times — ~K-fold less hashing on long documents. Portable (md5-only) so
     the DuckDB oracle reproduces signatures exactly."""
     base = F.transform(word_shingles(text_col, n), lambda s: F.md5(s))
-    return F.array(
-        *[
-            F.array_min(F.transform(base, lambda m: F.md5(F.concat(F.lit(f"{k}:"), m))))
-            for k in range(n_hashes)
-        ]
-    )
+    return _minhash_from_shm(base, n_hashes)
 
 
 def minhash_lsh_pairs(
@@ -417,7 +446,6 @@ def minhash_lsh_pairs(
       directory's lifecycle (it is NOT auto-deleted — the returned
       DataFrame reads from it lazily).
     """
-    rows_per_band = n_hashes // bands
     # materialize shingles ONCE; the k hash passes then transform the
     # md5-digest array (short fixed-width strings), never the raw text —
     # without this projection boundary Catalyst re-derives the shingle
@@ -431,14 +459,7 @@ def minhash_lsh_pairs(
     sh_df = reps.select("id", word_shingles(text_col, n).alias("sh"))
     shm_df = sh_df.select("id", F.transform("sh", lambda s: F.md5(s)).alias("shm"))
     sig = shm_df.select(
-        "id",
-        "shm",
-        F.array(
-            *[
-                F.array_min(F.transform("shm", lambda m: F.md5(F.concat(F.lit(f"{k}:"), m))))
-                for k in range(n_hashes)
-            ]
-        ).alias("mh"),
+        "id", "shm", _minhash_from_shm(F.col("shm"), n_hashes).alias("mh")
     )
     sig.persist()
     # the banded join carries ONLY (id, band, bucket) — candidate discovery
@@ -446,21 +467,7 @@ def minhash_lsh_pairs(
     # re-attached afterwards for the (much smaller) verification join
     banded = sig.select(
         "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.md5(
-                            F.array_join(
-                                F.slice("mh", bi * rows_per_band + 1, rows_per_band), "|"
-                            )
-                        ).alias("bucket"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        F.explode(_band_structs(F.col("mh"), n_hashes, bands)).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
     cand = (
         banded.alias("a")
@@ -923,7 +930,6 @@ def minhash_dedup_stream(
 
     from mysql_time_machine_spark.fsio import MetaFS
 
-    rows_per_band = n_hashes // bands
     fs = MetaFS(sink_dir, spark)
     meta_path = _os.path.join(sink_dir, "_store_meta.json")
     if fs.exists(meta_path):
@@ -1005,35 +1011,11 @@ def minhash_dedup_stream(
             F.transform(word_shingles(text_col, n), lambda s: F.md5(s)).alias("shm"),
         )
         sig = shm_df.select(
-            "doc_id",
-            "shm",
-            F.array(
-                *[
-                    F.array_min(
-                        F.transform("shm", lambda m: F.md5(F.concat(F.lit(f"{k}:"), m)))
-                    )
-                    for k in range(n_hashes)
-                ]
-            ).alias("mh"),
+            "doc_id", "shm", _minhash_from_shm(F.col("shm"), n_hashes).alias("mh")
         ).persist()
         new_bands = sig.select(
             "doc_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(bi).alias("band"),
-                            F.md5(
-                                F.array_join(
-                                    F.slice("mh", bi * rows_per_band + 1, rows_per_band),
-                                    "|",
-                                )
-                            ).alias("bucket"),
-                        )
-                        for bi in range(bands)
-                    ]
-                )
-            ).alias("bb"),
+            F.explode(_band_structs(F.col("mh"), n_hashes, bands)).alias("bb"),
         ).select(
             "doc_id", "bb.band", "bb.bucket", _hash_bucket(F.col("bb.bucket")).alias("_bucket")
         ).persist()

@@ -42,7 +42,19 @@ def ensure_default_arrow_batch(spark: SparkSession) -> int:
     re-applies it at entry (multimodal instead re-TUNES via its
     batch_size_hint — media blobs are the fat-row case). Batch replay's
     tune intentionally persists until its lazy plan executes; run replay
-    plans before building unrelated pandas plans in the same session."""
+    plans before building unrelated pandas plans in the same session.
+
+    KNOWN ORDERING HAZARD (accepted, documented): because the conf is
+    read at execution, interleaving plan BUILDS that tune with plan
+    EXECUTIONS that assume a tune is still pending can cross wires —
+    e.g. build a fat-row ``extract_features(batch_size_hint=...)`` plan,
+    then call a narrow kernel that re-applies the default HERE, then
+    execute the fat plan: it runs at the default cap. PySpark exposes no
+    per-plan Arrow cap to fix this structurally; the rule is EXECUTE a
+    tuned plan before entering another operator that touches the cap
+    (all package-internal paths follow it — the streaming job tunes and
+    executes inside one micro-batch, replay executes its plan in the
+    same call chain)."""
     ceiling = int(os.environ.get("SPARK_GRAFT_ARROW_BATCH", "100000"))
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(ceiling))
     return ceiling
