@@ -359,10 +359,23 @@ def _collapse_sorted_flat(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(out, columns=cols)
 
 
-def collapse_events_sql(events: DataFrame) -> DataFrame:
+def collapse_events_sql(events: DataFrame, *, join_prefilter: bool = False) -> DataFrame:
     """Pure-Catalyst collapse: no Python, cell-level parallel LWW.
 
-    AGGREGATE-FIRST shape — no operator ever exchanges raw events:
+    Two physical shapes, bit-identical output (parity- and oracle-gated):
+
+    ``join_prefilter=True`` — the BATCH regime shape: the per-key
+    aggregate's reset bound is joined back against the raw events to drop
+    dead (pre-reset) events BEFORE the cell explode. Under batch AQE the
+    key-sized aggregate side becomes a broadcast, so the join costs no
+    exchange of the raw stream and the explode + per-cell aggregate then
+    run over the post-reset survivors only (a 2-10x row reduction on
+    churny logs). This was the round-5 shape; round 6's aggregate-first
+    rewrite cost the batch leg ~1.3x (BENCH_r06 4.80 s vs r5 3.85 s), so
+    the regime split is now explicit instead of one-shape-fits-both.
+
+    ``join_prefilter=False`` (default) — the STREAMING shape,
+    AGGREGATE-FIRST — no operator ever exchanges raw events:
 
     1. per key: the last event + last reset (I or D) order key, one
        map-side-combinable ``max_by`` aggregate (shuffle carries ~keys);
@@ -376,13 +389,11 @@ def collapse_events_sql(events: DataFrame) -> DataFrame:
     3. join the two aggregate outputs (both ~key-sized) and reassemble
        the image with ``map_from_entries``.
 
-    The earlier shape joined the raw events against the per-key aggregate
-    to filter pre-reset cells. Under batch AQE that join becomes a
-    broadcast and costs nothing; inside a STREAMING micro-batch AQE is
-    unavailable, so Catalyst planned a full SortMergeJoin — a
-    full-data exchange+sort per epoch that capped streaming N->4N
-    efficiency at 0.36 (BENCH/STREAM_SCALING_r6.md). The aggregate-first
-    shape never materializes that exchange in either regime.
+    Inside a STREAMING micro-batch AQE is unavailable, so the
+    join_prefilter shape would plan a full SortMergeJoin — a full-data
+    exchange+sort per epoch that capped streaming N->4N efficiency at
+    0.36 (BENCH/STREAM_SCALING_r6.md). The aggregate-first shape never
+    materializes that exchange; the streaming sql escalation keeps it.
     """
     ev = events.where(F.col("op").isin("I", "U", "D")).withColumn(
         "_ord",
@@ -397,24 +408,43 @@ def collapse_events_sql(events: DataFrame) -> DataFrame:
         F.max(F.when(F.col("op").isin("I", "D"), F.col("_ord"))).alias("_last_reset"),
     )
 
-    cells = (
-        ev.where(F.col("op") != "D")
-        .select("repo", "path", "_ord", F.explode_outer("after").alias("k", "v"))
-        .where(F.col("k").isNotNull())
-        .groupBy("repo", "path", "k")
-        .agg(
-            F.max_by("v", F.col("_ord")).alias("v"),
-            F.max(F.col("_ord")).alias("_cell_ord"),
+    if join_prefilter:
+        # batch shape: drop dead events before the explode — AQE turns the
+        # key-sized aggregate side into a broadcast, so the raw stream is
+        # never exchanged for this join
+        live_cells = (
+            ev.join(last.select("repo", "path", "_last_reset"), ["repo", "path"])
+            .where(
+                F.col("_last_reset").isNull()
+                | (F.col("_ord") >= F.col("_last_reset"))
+            )
+            .where(F.col("op") != "D")
+            .select("repo", "path", "_ord", F.explode_outer("after").alias("k", "v"))
+            .where(F.col("k").isNotNull())
+            .groupBy("repo", "path", "k")
+            .agg(F.max_by("v", F.col("_ord")).alias("v"))
         )
-    )
-
-    live_cells = (
-        cells.join(last.select("repo", "path", "_last_reset"), ["repo", "path"])
-        .where(
-            F.col("_last_reset").isNull()
-            | (F.col("_cell_ord") >= F.col("_last_reset"))
+    else:
+        cells = (
+            ev.where(F.col("op") != "D")
+            .select("repo", "path", "_ord", F.explode_outer("after").alias("k", "v"))
+            .where(F.col("k").isNotNull())
+            .groupBy("repo", "path", "k")
+            .agg(
+                F.max_by("v", F.col("_ord")).alias("v"),
+                F.max(F.col("_ord")).alias("_cell_ord"),
+            )
         )
-    )
+        # a cell is live iff its LAST write is at-or-after the key's last
+        # reset (any earlier write is superseded either way), so filtering
+        # the per-cell aggregate against the reset bound is exact
+        live_cells = (
+            cells.join(last.select("repo", "path", "_last_reset"), ["repo", "path"])
+            .where(
+                F.col("_last_reset").isNull()
+                | (F.col("_cell_ord") >= F.col("_last_reset"))
+            )
+        )
 
     images = live_cells.groupBy("repo", "path").agg(
         F.map_from_entries(F.collect_list(F.struct("k", "v"))).alias("image")

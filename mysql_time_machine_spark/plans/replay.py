@@ -72,7 +72,10 @@ def replay_batch(
     elif impl == "sorted":
         collapsed = collapse_events_sorted(ev, n_buckets=cfg.shuffle_partitions * 2)
     elif impl == "sql":
-        collapsed = collapse_events_sql(ev)
+        # batch regime: AQE is available, so the join-prefilter shape drops
+        # dead events before the cell explode at no exchange cost (the
+        # streaming escalation keeps the aggregate-first default)
+        collapsed = collapse_events_sql(ev, join_prefilter=True)
     else:  # pragma: no cover
         raise ValueError(f"unknown impl {impl!r}")
     out = materialize(collapsed, business_columns)

@@ -95,6 +95,7 @@ def test_kernels_agree_on_arbitrary_streams(_spark, events):
         ("pandas", collapse_events_pandas),
         ("sorted", collapse_events_sorted),
         ("sql", collapse_events_sql),
+        ("sql_prefilter", lambda d: collapse_events_sql(d, join_prefilter=True)),
     ):
         got = {}
         for r in impl(df).collect():
@@ -102,7 +103,12 @@ def test_kernels_agree_on_arbitrary_streams(_spark, events):
             got[(r["repo"], r["path"])] = (r["row_status"], img, r["full_image"], r["gtid_seq"])
         results[name] = got
 
-    assert results["pandas"] == results["sorted"] == results["sql"]
+    assert (
+        results["pandas"]
+        == results["sorted"]
+        == results["sql"]
+        == results["sql_prefilter"]
+    )
     for key, (op, img) in expected.items():
         got_op, got_img, _fi, _g = results["pandas"][key]
         assert got_op == op, (key, events)
