@@ -79,7 +79,7 @@ def _with_ord(events: DataFrame) -> DataFrame:
     )
 
 
-def live_events(events: DataFrame) -> DataFrame:
+def live_events(events: DataFrame, broadcast_reset: bool = False) -> DataFrame:
     """JVM-side pre-reduction shared by both collapse paths: keep only
     events at-or-after each key's LAST reset (I or D).
 
@@ -89,11 +89,22 @@ def live_events(events: DataFrame) -> DataFrame:
     touches it. On churny logs this is a 10-100x data reduction; in the
     no-reset worst case (pure partial updates) it degrades to a pass-through
     with one cheap extra aggregate.
+
+    ``broadcast_reset`` hints the key-sized aggregate side as a broadcast.
+    Batch callers don't need it (AQE sees the runtime size and converts
+    the SortMergeJoin itself), but inside a STREAMING micro-batch AQE is
+    unavailable and Catalyst plans a full SMJ — one exchange + sort of
+    every raw event just to apply a key-sized filter. The streaming job
+    sets it from the per-epoch stats aggregate (rows < big_batch_rows, so
+    the distinct-key side is provably bounded); callers who cannot bound
+    the key count must leave it off.
     """
     ev = _with_ord(events.where(F.col("op").isin("I", "U", "D")))
     last_reset = ev.groupBy("repo", "path").agg(
         F.max(F.when(F.col("op").isin("I", "D"), F.col("_ord"))).alias("_lr")
     )
+    if broadcast_reset:
+        last_reset = F.broadcast(last_reset)
     return (
         ev.join(last_reset, ["repo", "path"])
         .where(F.col("_lr").isNull() | (F.col("_ord") >= F.col("_lr")))
@@ -215,6 +226,7 @@ def collapse_events_pandas(
     hot_keys: list[tuple[str, str]] | None = None,
     hot_key_split: int = 8,
     hot_key_threshold: int = 0,
+    broadcast_reset: bool = False,
 ) -> DataFrame:
     """North-rule path: salted-bucket repartition + grouped-map applyInPandas.
 
@@ -244,7 +256,7 @@ def collapse_events_pandas(
     pruned = events.select(*needed)
     # JVM-side pre-reduction: Python only ever sees events that can still
     # influence a final image (see live_events)
-    live = live_events(pruned).drop("_ord")
+    live = live_events(pruned, broadcast_reset=broadcast_reset).drop("_ord")
     # flatten the image map JVM-side: Arrow then ships plain string columns
     # (no per-row python dict materialization — the map type is rebuilt only
     # for the collapsed output)
@@ -285,7 +297,9 @@ def collapse_events_pandas(
     )
 
 
-def collapse_events_sorted(events: DataFrame, n_buckets: int = 64) -> DataFrame:
+def collapse_events_sorted(
+    events: DataFrame, n_buckets: int = 64, broadcast_reset: bool = False
+) -> DataFrame:
     """Scale variant of the pandas path: one JVM shuffle on the salted
     bucket + Tungsten sortWithinPartitions((key, order)) + a STREAMING
     mapInPandas kernel.
@@ -296,7 +310,9 @@ def collapse_events_sorted(events: DataFrame, n_buckets: int = 64) -> DataFrame:
     Arrow batch with a small carry for keys spanning batch boundaries.
     """
     needed = ["repo", "path", "op", "after", "ts", "schema_version"] + ORDER_COLS
-    live = live_events(events.select(*needed)).drop("_ord")
+    live = live_events(
+        events.select(*needed), broadcast_reset=broadcast_reset
+    ).drop("_ord")
     flat = live.select(
         "repo", "path", "op", "ts", "schema_version", *ORDER_COLS,
         F.explode_outer("after").alias("cell", "value"),

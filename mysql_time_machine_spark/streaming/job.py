@@ -42,11 +42,12 @@ def _phase(spark: SparkSession, name: str):
     per-phase wall time is attributable (BENCH/stream_phase_profile.py).
     Thread-local in the JVM — concurrent streams don't cross-label."""
     sc = spark.sparkContext
+    prev = sc.getLocalProperty("spark.job.description")
     try:
         sc.setJobDescription(f"mtm:{name}")
         yield
     finally:
-        sc.setJobDescription(None)
+        sc.setJobDescription(prev)
 
 from mysql_time_machine_spark.config import EngineConfig
 from mysql_time_machine_spark.functions.core import classify_event, daily_bucket_utc
@@ -114,17 +115,16 @@ class ApplyJob:
         tuned_arrow = False
         persisted = False
         try:
-            with _phase(self.spark, "empty-check"):
-                if batch.isEmpty():
-                    # stateful upstream ops (txn buffer timeouts) can emit
-                    # empty micro-batches; don't burn a snapshot commit
-                    return
             impl = cfg.resolved_collapse_impl("streaming")
             # (A3/A5) event-level metrics: consumed counts by class + max
             # replication delay, excluding ROTATE's ts=0 (CHANGES.txt:58-61).
             # When a Python collapse kernel is active, the payload-width
             # estimate for the byte-aware Arrow batch cap rides the SAME
-            # aggregate — no extra pass over the micro-batch.
+            # aggregate — no extra pass over the micro-batch. The empty-
+            # batch probe rides it too: an empty micro-batch (stateful
+            # upstream ops like txn-buffer timeouts emit them) yields zero
+            # groups, so the dedicated isEmpty() job the epoch used to pay
+            # is free.
             want_width = cfg.auto_arrow_batch and impl in ("pandas", "sorted")
             aggs = [
                 F.count("*").alias("n"),
@@ -137,6 +137,9 @@ class ApplyJob:
                 aggs.append(F.avg(event_payload_bytes()).alias("avg_row_bytes"))
             with _phase(self.spark, "stats-agg"):
                 stats = batch.groupBy("_class").agg(*aggs).collect()
+            if not stats:
+                # empty micro-batch: don't burn a snapshot commit
+                return
             events_consumed = {r["_class"]: r["n"] for r in stats}
             if (
                 cfg.collapse_impl == "auto"
@@ -167,16 +170,20 @@ class ApplyJob:
                     tune_arrow_batch_for_width(self.spark, int(est))
                     tuned_arrow = True
 
-            # (J0) DDL -> active schema; driver-side control flow, tiny
-            with _phase(self.spark, "ddl-collect"):
-                ddls = (
-                    batch.where(F.col("_class") == "DDL")
-                    .select("gtid_seq", "log_file", "log_pos", "ddl")
-                    .sort("gtid_seq", "log_file", "log_pos")
-                    .collect()
-                )
-            for r in ddls:
-                self.registry.apply_ddl(r["ddl"], r["gtid_seq"])
+            # (J0) DDL -> active schema; driver-side control flow, tiny.
+            # The stats aggregate already counted DDL rows — the collect
+            # job (and, in the common DDL-free epoch, the scan that built
+            # the micro-batch cache) only runs when there is one to apply.
+            if events_consumed.get("DDL", 0) > 0:
+                with _phase(self.spark, "ddl-collect"):
+                    ddls = (
+                        batch.where(F.col("_class") == "DDL")
+                        .select("gtid_seq", "log_file", "log_pos", "ddl")
+                        .sort("gtid_seq", "log_file", "log_pos")
+                        .collect()
+                    )
+                for r in ddls:
+                    self.registry.apply_ddl(r["ddl"], r["gtid_seq"])
             # always pin the sink's target schema to the active schema —
             # idempotent, and correct whether this epoch is fresh, replayed,
             # or resumed mid-stream after a crash
@@ -204,6 +211,11 @@ class ApplyJob:
             # 'auto' resolves to the sorted kernel here: micro-batches are
             # fixed-cost-bound and it runs the smallest per-batch plan
             # (see EngineConfig.collapse_impl for the measured basis)
+            # micro-batch AQE is off, so the live_events reset join would
+            # plan a full-data SortMergeJoin; the stats aggregate proved the
+            # batch (hence its distinct-key side) is bounded, so hint the
+            # key-sized side as a broadcast
+            bounded = events_consumed.get("ROW", 0) < cfg.big_batch_rows
             if impl == "sql":
                 from mysql_time_machine_spark.operators.reassemble import collapse_events_sql
 
@@ -211,13 +223,16 @@ class ApplyJob:
             elif impl == "sorted":
                 from mysql_time_machine_spark.operators.reassemble import collapse_events_sorted
 
-                collapsed = collapse_events_sorted(rows, n_buckets=cfg.shuffle_partitions)
+                collapsed = collapse_events_sorted(
+                    rows, n_buckets=cfg.shuffle_partitions, broadcast_reset=bounded
+                )
             else:
                 collapsed = collapse_events_pandas(
                     rows,
                     n_buckets=cfg.shuffle_partitions,
                     hot_key_split=cfg.hot_key_split,
                     hot_key_threshold=cfg.hot_key_threshold,
+                    broadcast_reset=bounded,
                 )
 
             # deterministic chaos monkey (seeded analogue of CHANGES.txt:126):
