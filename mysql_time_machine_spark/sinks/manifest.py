@@ -202,10 +202,18 @@ class ManifestParquetSink(Sink):
         late-released insert stays dropped, while CoW's row-level guard
         loses the tombstone and would resurrect the key.
 
-        Cost shape: one window + the collapse aggregates — all map-side
-        combinable after one hash shuffle on the key; nothing driver-side,
-        no Python. Compaction (rewrite_data_files) folds deltas so steady
-        reads take the base-only fast path."""
+        Cost shape: ONE pass over base + deltas — one hash shuffle on the
+        key feeds the fence window, and the fenced rows are
+        localCheckpoint-ed (lazily: blocks materialize at the consumer's
+        first action and live in executor storage, spilling to disk) so
+        the two downstream aggregates read the cached rows instead of
+        re-scanning the union per branch. Round 6's shape re-computed the
+        scan+window THREE times (the per-branch column pruning made each
+        branch's Exchange subtree distinct, defeating ReusedExchange —
+        plan snapshot BENCH/PLANS.md, r6 MoR read). Everything after the
+        window is map-side combinable aggregates + key-sized joins;
+        nothing driver-side, no Python. Compaction (rewrite_data_files)
+        folds deltas so steady reads take the base-only fast path."""
         from pyspark.sql.window import Window
 
         kv = []
@@ -238,7 +246,7 @@ class ManifestParquetSink(Sink):
             allr.withColumn("_pmax", F.max("gtid_seq").over(w))
             .where(F.col("_pmax").isNull() | (F.col("gtid_seq") >= F.col("_pmax")))
             .drop("_pmax")
-        )
+        ).localCheckpoint(eager=False)
         last = fresh.groupBy("repo", "path").agg(
             F.max_by(
                 F.struct("row_status", "gtid_seq", "schema_version", "updated_ts"),
@@ -252,20 +260,26 @@ class ManifestParquetSink(Sink):
                 )
             ).alias("_last_reset"),
         )
-        live = (
-            fresh.alias("e")
-            .join(last.alias("s"), ["repo", "path"])
-            .where(
-                F.col("s._last_reset").isNull()
-                | (F.col("e._ord") >= F.col("s._last_reset"))
-            )
-            .where(F.col("e.row_status") != "D")
-        )
+        # aggregate-first cell LWW (the collapse_events_sql argument): a
+        # cell is live iff its LAST write is at-or-after the key's reset
+        # bound — any earlier write is superseded either by the reset or
+        # by the later write — so the per-cell aggregate runs over ALL
+        # fenced rows and the reset bound filters the aggregate, not the
+        # raw rows (no join against the row stream)
         cells = (
-            live.select("repo", "path", "_ord", F.explode_outer("image").alias("k", "v"))
+            fresh.where(F.col("row_status") != "D")
+            .select("repo", "path", "_ord", F.explode_outer("image").alias("k", "v"))
             .where(F.col("k").isNotNull())
             .groupBy("repo", "path", "k")
-            .agg(F.max_by("v", F.col("_ord")).alias("v"))
+            .agg(
+                F.max_by("v", F.col("_ord")).alias("v"),
+                F.max("_ord").alias("_cell_ord"),
+            )
+            .join(last.select("repo", "path", "_last_reset"), ["repo", "path"])
+            .where(
+                F.col("_last_reset").isNull()
+                | (F.col("_cell_ord") >= F.col("_last_reset"))
+            )
         )
         images = cells.groupBy("repo", "path").agg(
             F.map_from_entries(F.collect_list(F.struct("k", "v"))).alias("image")
