@@ -53,6 +53,154 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+#: on-disk layout generation of the streaming dedup stores; v2 is the
+#: epoch-partitioned merge-on-read layout (v1 was bucket-granular CoW) —
+#: resuming a v1 store under v2 would mix directory structures, so both
+#: stream operators pin it in _store_meta.json and fail fast on mismatch
+_STORE_LAYOUT_VERSION = 2
+
+
+def _md5_bucket(col: F.Column, n_buckets: int) -> F.Column:
+    """md5-hex prefix -> store bucket number (shared by every epoch-
+    partitioned stream store so writes and compaction agree on layout)."""
+    return F.pmod(
+        F.conv(F.substring(col, 1, 6), 16, 10).cast("long"), F.lit(n_buckets)
+    ).cast("int")
+
+
+def _store_epoch_dirs(fs, store: str) -> list[tuple[str, list[str]]]:
+    """[(bucket_dir, [epoch_dir_name, ...]), ...] of an epoch-partitioned
+    stream store — the layout walk compaction and the fast-path probe use."""
+    out = []
+    for entry in sorted(fs.listdir(store)):
+        if entry.startswith("_bucket="):
+            bdir = f"{store}/{entry}"
+            out.append(
+                (bdir, sorted(e for e in fs.listdir(bdir) if e.startswith("_epoch=")))
+            )
+    return out
+
+
+def _next_fold_ordinal(fs, store: str) -> int:
+    """Fold partitions are ``_epoch=-K`` (K = 1, 2, ... per compaction);
+    real epochs are >= 0, so the two can never collide — a crash-replayed
+    micro-batch dynamic-overwrites only its own non-negative partition.
+    Returns the next unused K."""
+    k = 0
+    for _bdir, eps in _store_epoch_dirs(fs, store):
+        for e in eps:
+            v = int(e.split("=", 1)[1])
+            if v < 0:
+                k = max(k, -v)
+    return k + 1
+
+
+#: resolution order for absolute-state epoch stores: any real epoch beats
+#: any fold (the fold is a snapshot of strictly older state), and a newer
+#: fold (larger K, i.e. more negative _epoch) beats an older one
+def _epoch_resolution_ord() -> F.Column:
+    return F.when(
+        F.col("_epoch") >= 0,
+        F.struct(F.lit(1).alias("g"), F.col("_epoch").alias("e")),
+    ).otherwise(F.struct(F.lit(0).alias("g"), (-F.col("_epoch")).alias("e")))
+
+
+def _fold_install(fs, store: str, tmp: str, fold_k: int) -> dict[str, int]:
+    """Install a staged fold: rename each staged bucket dir into the store
+    as ``_epoch=-fold_k``, then drop the superseded partitions. Crash-safe
+    at every boundary: the new fold never overwrites the old one (fresh
+    K), and resolution stays correct with any mix of fold + epoch dirs
+    present, so deletions can trail a crash harmlessly."""
+    import os as _os
+
+    installed = 0
+    for entry in sorted(fs.listdir(tmp)):
+        if not entry.startswith("_bucket="):
+            continue
+        dst_b = f"{store}/{entry}"
+        fs.makedirs(dst_b)
+        fs.replace(f"{tmp}/{entry}", f"{dst_b}/_epoch=-{fold_k}")
+        installed += 1
+    fs.rmtree(tmp)
+    dropped = 0
+    for bdir, eps in _store_epoch_dirs(fs, store):
+        for e in eps:
+            if int(e.split("=", 1)[1]) != -fold_k:
+                fs.rmtree(_os.path.join(bdir, e))
+                dropped += 1
+    return {"folded_buckets": installed, "dropped_epoch_partitions": dropped}
+
+
+def read_exact_store(spark, sink_dir: str) -> DataFrame:
+    """Current state of an ``exact_dedup_stream`` store: per key, the
+    newest absolute row wins (real epochs beat folds, newer folds beat
+    older — ``_epoch_resolution_ord``). When the store holds ONLY one fold
+    partition per bucket (steady state after ``compact_exact_store``) the
+    resolve aggregate is skipped and the read is a plain pruned scan."""
+    import os as _os
+
+    from mysql_time_machine_spark.fsio import MetaFS
+
+    fs = MetaFS(sink_dir, spark)
+    store = _os.path.join(sink_dir, "store")
+    raw = spark.read.parquet(store)
+    per_bucket = _store_epoch_dirs(fs, store)
+    if per_bucket and all(
+        len(eps) == 1 and int(eps[0].split("=", 1)[1]) < 0 for _b, eps in per_bucket
+    ):
+        return raw.select("text_md5", "canonical_id", "n_copies")
+    return (
+        raw.groupBy("text_md5")
+        .agg(
+            F.max_by(
+                F.struct("canonical_id", "n_copies"), _epoch_resolution_ord()
+            ).alias("_s")
+        )
+        .select(
+            "text_md5",
+            F.col("_s.canonical_id").alias("canonical_id"),
+            F.col("_s.n_copies").alias("n_copies"),
+        )
+    )
+
+
+def compact_exact_store(spark, sink_dir: str) -> dict[str, int]:
+    """``rewrite_data_files`` analogue for the exact-dedup stream store:
+    fold the accumulated per-epoch rows into ONE row per key under a
+    fresh ``_epoch=-K`` partition, then drop the superseded partitions —
+    steady-state reads regain the resolve-free fast path. Run from a
+    maintenance window (no concurrent stream writer), like the manifest
+    sink's compaction. The fold is staged outside the store and renamed
+    in, so the store never reads and overwrites the same path, and a
+    crash at any point leaves a store every read still resolves
+    correctly (the fold only ever ADDS a snapshot that loses to newer
+    rows)."""
+    import os as _os
+
+    from mysql_time_machine_spark.fsio import MetaFS
+
+    fs = MetaFS(sink_dir, spark)
+    store = _os.path.join(sink_dir, "store")
+    if not fs.isdir(store):
+        return {"folded_buckets": 0, "dropped_epoch_partitions": 0}
+    import json as _json
+
+    meta = _json.loads(fs.read_text(_os.path.join(sink_dir, "_store_meta.json")))
+    n_buckets = int(meta["n_buckets"])
+    fold_k = _next_fold_ordinal(fs, store)
+    tmp = _os.path.join(sink_dir, "_compact_tmp")
+    fs.rmtree(tmp)
+    (
+        read_exact_store(spark, sink_dir)
+        .withColumn("_bucket", _md5_bucket(F.col("text_md5"), n_buckets))
+        .repartition("_bucket")
+        .write.mode("overwrite")
+        .partitionBy("_bucket")
+        .parquet(tmp)
+    )
+    return _fold_install(fs, store, tmp, fold_k)
+
+
 def exact_dedup_stream(
     spark,
     source_path: str,
@@ -79,28 +227,29 @@ def exact_dedup_stream(
     Two sink shapes:
 
     * ``sink_dir`` given — THE PRODUCTION PATH: update-mode aggregate +
-      ``foreachBatch`` upserting (text_md5, canonical_id, n_copies) into a
-      Parquet store at ``<sink_dir>/store``, hash-bucketed on text_md5 so
-      each micro-batch rewrites only the buckets its keys touch
-      (copy-on-write at bucket granularity, the sink pattern the CDC
-      manifest sink uses). Results NEVER concentrate on the driver — each
-      update flows executor-side from the state store to the bucket files.
-      Update-mode rows carry ABSOLUTE state values (not deltas), so a
-      replayed micro-batch (crash between the sink write and the
-      checkpoint commit) rewrites the same content — idempotent. The
-      checkpoint lives under ``<sink_dir>/_checkpoint``: a later call over
-      the same dir resumes incrementally (only new files are processed).
-      ``sink_dir`` must be a shared filesystem on a real cluster.
+      ``foreachBatch`` appending (text_md5, canonical_id, n_copies) rows
+      into a Parquet store at ``<sink_dir>/store`` partitioned by
+      ``(_bucket, _epoch)`` — MERGE-ON-READ, the manifest sink's write
+      economics: each micro-batch writes ONLY its own rows (bytes/epoch
+      proportional to the BATCH, independent of store size; the round-6
+      layout was bucket-granular copy-on-write, whose per-batch rewrite
+      grew with the STORE). Update-mode rows carry ABSOLUTE state values
+      (not deltas), so the read side resolves each key to its newest
+      epoch's row (one map-side-combined ``max_by``) — and a replayed
+      micro-batch (crash between the sink write and the checkpoint
+      commit) dynamic-overwrites its own ``_epoch`` partitions with the
+      same content — idempotent. Results NEVER concentrate on the driver.
+      ``compact_exact_store`` folds accumulated epochs back to one row
+      per key (the ``rewrite_data_files`` analogue), restoring the
+      resolve-free fast read. The checkpoint lives under
+      ``<sink_dir>/_checkpoint``: a later call over the same dir resumes
+      incrementally (only new files are processed). ``sink_dir`` must be
+      a shared filesystem on a real cluster.
 
-      SIZING RULE — ``n_buckets`` must be well ABOVE the distinct keys a
-      micro-batch carries: text_md5 keys are uniform, so a batch with
-      >= n_buckets distinct keys touches EVERY bucket and the CoW merge
-      rewrites the whole store (rewrite amplification = store/batch).
-      With buckets >> per-batch keys, each batch rewrites only
-      ~keys/n_buckets of the store. The first run PERSISTS n_buckets in
-      ``<sink_dir>/_store_meta.json`` and every resume adopts the stored
-      value — a different bucketing would read the wrong bucket dirs for
-      existing keys and silently duplicate them.
+      ``n_buckets`` now only governs read-side pruning granularity and
+      file counts (writes never rewrite a bucket); the first run PERSISTS
+      it in ``<sink_dir>/_store_meta.json`` and every resume adopts the
+      stored value so the layout stays consistent across resumes.
     * no ``sink_dir`` — test/oracle harness shape: complete-mode memory
       sink. The result is copied out with ``localCheckpoint`` (executor
       storage) and the driver-resident memory-sink table is DROPPED before
@@ -149,46 +298,36 @@ def exact_dedup_stream(
     fs = MetaFS(sink_dir, spark)
     meta_path = _os.path.join(sink_dir, "_store_meta.json")
     if fs.exists(meta_path):
-        n_buckets = int(_json.loads(fs.read_text(meta_path))["n_buckets"])
+        meta = _json.loads(fs.read_text(meta_path))
+        if meta.get("layout", 1) != _STORE_LAYOUT_VERSION:
+            raise ValueError(
+                f"store at {sink_dir} uses layout v{meta.get('layout', 1)} "
+                f"(bucket-CoW); this build writes v{_STORE_LAYOUT_VERSION} "
+                "(epoch-partitioned merge-on-read) — rebuild into a fresh "
+                "sink_dir"
+            )
+        n_buckets = int(meta["n_buckets"])
     else:
         fs.makedirs(sink_dir)
-        fs.write_text_atomic(meta_path, _json.dumps({"n_buckets": n_buckets}))
+        fs.write_text_atomic(
+            meta_path,
+            _json.dumps({"n_buckets": n_buckets, "layout": _STORE_LAYOUT_VERSION}),
+        )
 
-    def _bucket_of(col):
-        return F.pmod(
-            F.conv(F.substring(col, 1, 6), 16, 10).cast("long"), F.lit(n_buckets)
-        ).cast("int")
-
-    def upsert(batch: DataFrame, _epoch_id: int) -> None:
-        batch = batch.withColumn("_bucket", _bucket_of(F.col("text_md5")))
-        batch.persist()
-        try:
-            touched = [r["_bucket"] for r in batch.select("_bucket").distinct().collect()]
-            if not touched:
-                return
-            merged = batch
-            dirs = [
-                f"{store}/_bucket={b}"
-                for b in touched
-                if fs.isdir(f"{store}/_bucket={b}")
-            ]
-            if dirs:
-                old = batch.sparkSession.read.option("basePath", store).parquet(*dirs)
-                kept = old.join(batch.select("text_md5"), "text_md5", "left_anti")
-                merged = kept.unionByName(batch)
-            # sever lineage from the files about to be overwritten, then
-            # replace ONLY the touched bucket partitions; release the
-            # checkpoint blocks immediately (a long backfill would
-            # otherwise pin one store snapshot per micro-batch until GC)
-            snap = merged.localCheckpoint(eager=True)
-            try:
-                snap.write.mode("overwrite").option(
-                    "partitionOverwriteMode", "dynamic"
-                ).partitionBy("_bucket").parquet(store)
-            finally:
-                snap.unpersist()
-        finally:
-            batch.unpersist()
+    def upsert(batch: DataFrame, epoch_id: int) -> None:
+        # merge-on-read append: write ONLY this batch's rows, partitioned
+        # by (_bucket, _epoch). No read of the existing store, no
+        # anti-join, no rewrite — bytes/epoch ∝ batch. Dynamic partition
+        # overwrite keyed on the epoch's own partitions keeps crash
+        # replays idempotent (same epoch -> same partitions -> same rows).
+        (
+            batch.withColumn("_bucket", _md5_bucket(F.col("text_md5"), n_buckets))
+            .withColumn("_epoch", F.lit(int(epoch_id)).cast("long"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_bucket", "_epoch")
+            .parquet(store)
+        )
 
     q = (
         agg.writeStream.foreachBatch(upsert)
@@ -198,14 +337,18 @@ def exact_dedup_stream(
         .start()
     )
     q.awaitTermination()
-    if not fs.isdir(store):
-        # zero-data source: no batch ever ran, so the store was never
-        # created — return the (empty) result shape, matching the
-        # memory-sink path's behavior on the same input. agg.schema, not a
-        # hardcoded DDL: canonical_id's type follows id_col (min(id_col)),
-        # so string doc ids must yield a string column here too
+    # zero-data source: either no batch ran (no store dir) or one empty
+    # batch ran (a store dir holding only _SUCCESS — no partitions to
+    # infer a schema from); both return the empty result shape, matching
+    # the memory-sink path's behavior on the same input. agg.schema, not a
+    # hardcoded DDL: canonical_id's type follows id_col (min(id_col)), so
+    # string doc ids must yield a string column here too
+    has_data = fs.isdir(store) and any(
+        e.startswith("_bucket=") for e in fs.listdir(store)
+    )
+    if not has_data:
         return spark.createDataFrame([], agg.schema)
-    return spark.read.parquet(store).drop("_bucket")
+    return read_exact_store(spark, sink_dir)
 
 
 def fingerprint_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -890,32 +1033,41 @@ def minhash_dedup_stream(
     where ``dup_of`` is the SMALLEST earlier doc id that shares at least
     one LSH band bucket AND verifies at true shingle Jaccard >=
     ``threshold`` (NULL -> ``kept`` = true). Arrival order is the
-    semantic order: the operator assumes drops arrive in nondecreasing
-    ``id_col`` order (the natural layout for append-only corpus drops —
-    enforced by the caller's file naming), which makes the final verdict
-    table a PURE FUNCTION of the corpus, equal to the batch rule "min
-    earlier band-sharing neighbor with Jaccard >= t" — the property the
-    contract oracle checks (``dedup_stream_minhash``). A smaller id
-    arriving after a larger one would be indexed correctly but could not
-    retroactively flip the earlier document's verdict — online dedup
-    never re-litigates shipped verdicts.
+    semantic order: the operator requires drops to arrive in
+    nondecreasing ``id_col`` order (the natural layout for append-only
+    corpus drops), which makes the final verdict table a PURE FUNCTION of
+    the corpus, equal to the batch rule "min earlier band-sharing
+    neighbor with Jaccard >= t" — the property the contract oracle checks
+    (``dedup_stream_minhash``). The requirement is ENFORCED, not assumed:
+    the store meta persists the max indexed doc id, and a (non-replay)
+    batch whose min id is not above it FAILS FAST — Spark's file source
+    orders by modification time, not name, so a back-dated or equal-mtime
+    drop file could otherwise silently produce verdicts that diverge from
+    the batch rule. A smaller id arriving after a larger one could not
+    retroactively flip the earlier document's verdict anyway — online
+    dedup never re-litigates shipped verdicts.
 
-    Index layout under ``sink_dir`` (all bucket-granular CoW, the same
-    store pattern as ``exact_dedup_stream`` — and the same SIZING RULE:
-    ``n_buckets`` must exceed the distinct band-buckets a micro-batch
-    touches, or every batch rewrites the whole band store):
+    Index layout under ``sink_dir`` — every store is APPEND-ONLY,
+    partitioned by ``(_bucket, _epoch)``: a micro-batch writes exactly
+    its own rows (bytes/epoch proportional to the BATCH, independent of
+    index size — the manifest sink's merge-on-read economics; the round-6
+    layout was bucket-granular CoW whose per-batch rewrite grew with the
+    STORE). Dynamic partition overwrite keyed on the epoch's own
+    partitions keeps crash replays idempotent.
+    ``compact_minhash_stream_index`` folds accumulated epochs to one file
+    set per bucket (fold partitions ``_epoch=-K`` can never collide with
+    a replayed real epoch). ``n_buckets`` governs read-side pruning
+    granularity only:
 
-    * ``bands/_bucket=H/``  — (band, bucket, doc_id): the LSH postings.
-      A batch reads ONLY the ``_bucket`` dirs its own band hashes touch
-      (file-pruned candidate lookup; the collected ids are bucket
-      NUMBERS, <= n_buckets of them — control-plane, never data).
-    * ``docs/_bucket=H/``   — (doc_id, shm): the distinct-shingle digest
-      arrays for Jaccard verification; read only for the buckets holding
-      candidate counterpart ids.
-    * ``verdicts/_epoch=N/`` — the per-batch verdicts, written with
-      dynamic partition overwrite so a replayed micro-batch (crash
-      between sink write and checkpoint commit) rewrites its own
-      partition — idempotent, like every sink in this package.
+    * ``bands/_bucket=H/_epoch=N/`` — (band, bucket, doc_id): the LSH
+      postings. A batch reads ONLY the ``_bucket`` dirs its own band
+      hashes touch (file-pruned candidate lookup; the collected ids are
+      bucket NUMBERS, <= n_buckets of them — control-plane, never data).
+    * ``docs/_bucket=H/_epoch=N/`` — (doc_id, shm): the distinct-shingle
+      digest arrays for Jaccard verification; read only for the buckets
+      holding candidate counterpart ids.
+    * ``verdicts/_epoch=N/`` — the per-batch verdicts, dynamic-overwrite
+      idempotent like the index stores.
 
     Candidate discovery is the batch operator's banded equi-join, split
     across the batch boundary: new-vs-indexed via the postings store,
@@ -934,6 +1086,13 @@ def minhash_dedup_stream(
     meta_path = _os.path.join(sink_dir, "_store_meta.json")
     if fs.exists(meta_path):
         meta = _json.loads(fs.read_text(meta_path))
+        if meta.get("layout", 1) != _STORE_LAYOUT_VERSION:
+            raise ValueError(
+                f"index at {sink_dir} uses layout v{meta.get('layout', 1)} "
+                f"(bucket-CoW); this build writes v{_STORE_LAYOUT_VERSION} "
+                "(epoch-partitioned merge-on-read) — rebuild into a fresh "
+                "sink_dir"
+            )
         n_buckets = int(meta["n_buckets"])
         # threshold is pinned too: already-shipped epochs judged at the old
         # t cannot be re-judged, so a resume at a different t would make
@@ -960,6 +1119,7 @@ def minhash_dedup_stream(
                     "bands": bands,
                     "n": n,
                     "threshold": threshold,
+                    "layout": _STORE_LAYOUT_VERSION,
                 }
             ),
         )
@@ -969,10 +1129,7 @@ def minhash_dedup_stream(
     verdicts_store = _os.path.join(sink_dir, "verdicts")
 
     def _hash_bucket(col):  # md5-hex prefix -> store bucket number
-        return F.pmod(
-            F.conv(F.substring(F.md5(col), 1, 6), 16, 10).cast("long"),
-            F.lit(n_buckets),
-        ).cast("int")
+        return _md5_bucket(F.md5(col), n_buckets)
 
     def _read_buckets(store: str, touched: list[int]):
         dirs = [f"{store}/_bucket={b}" for b in touched if fs.isdir(f"{store}/_bucket={b}")]
@@ -980,28 +1137,47 @@ def minhash_dedup_stream(
             return None
         return spark.read.option("basePath", store).parquet(*dirs)
 
-    def _cow_upsert(store: str, new_rows: DataFrame, key_cols: list[str]) -> None:
-        new_rows.persist()
-        try:
-            touched = [r["_bucket"] for r in new_rows.select("_bucket").distinct().collect()]
-            if not touched:
-                return
-            merged = new_rows
-            old = _read_buckets(store, touched)
-            if old is not None:
-                kept = old.join(new_rows.select(*key_cols).distinct(), key_cols, "left_anti")
-                merged = kept.unionByName(new_rows)
-            snap = merged.localCheckpoint(eager=True)
-            try:
-                snap.write.mode("overwrite").option(
-                    "partitionOverwriteMode", "dynamic"
-                ).partitionBy("_bucket").parquet(store)
-            finally:
-                snap.unpersist()
-        finally:
-            new_rows.unpersist()
+    def _epoch_append(store: str, new_rows: DataFrame, epoch_id: int) -> None:
+        """Grow the index by exactly this batch: write ONLY the batch's
+        rows under (_bucket, _epoch) — no read of the store, no anti-join,
+        no rewrite. A crash-replayed epoch dynamic-overwrites its own
+        partitions with identical rows; the residual duplicate risk
+        (fold + replayed epoch holding the same posting) is absorbed by
+        the read side's candidate ``distinct`` / doc ``dropDuplicates``."""
+        (
+            new_rows.withColumn("_epoch", F.lit(int(epoch_id)).cast("long"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_bucket", "_epoch")
+            .parquet(store)
+        )
 
     def _apply(batch: DataFrame, epoch_id: int) -> None:
+        # ordering guard (fail fast, BEFORE any store write): a non-replay
+        # batch must arrive strictly above everything already indexed —
+        # the file source orders by mtime, not name, so a back-dated drop
+        # would otherwise silently break the verdict table's
+        # pure-function-of-corpus property. Replays (epoch_id <= the
+        # persisted max epoch) re-deliver already-indexed ids by design.
+        cur = _json.loads(fs.read_text(meta_path))
+        bounds = batch.agg(
+            F.min(F.col(id_col)).alias("lo"), F.max(F.col(id_col)).alias("hi")
+        ).head()
+        max_indexed = cur.get("max_indexed_id")
+        max_epoch = cur.get("max_epoch", -1)
+        if (
+            bounds["lo"] is not None
+            and max_indexed is not None
+            and int(epoch_id) > max_epoch
+            and bounds["lo"] <= max_indexed
+        ):
+            raise ValueError(
+                f"minhash_dedup_stream: out-of-order arrival — batch min "
+                f"{id_col}={bounds['lo']!r} is not above the already-indexed "
+                f"max ({max_indexed!r}); verdicts are only a pure function "
+                "of the corpus under nondecreasing id arrival (check drop "
+                "file mtimes/naming, or rebuild the index)"
+            )
         # one projection boundary per derivation stage + persist: Catalyst
         # has no CSE across array HOFs (CollapseProject re-inlines), so the
         # signature work must be pinned before it fans out to banding,
@@ -1105,14 +1281,28 @@ def minhash_dedup_stream(
             ).partitionBy("_epoch").parquet(verdicts_store)
 
             # grow the index by exactly this batch (idempotent on replay)
-            _cow_upsert(bands_store, new_bands.select("band", "bucket", "doc_id", "_bucket"), ["band", "bucket", "doc_id"])
-            _cow_upsert(
+            _epoch_append(
+                bands_store,
+                new_bands.select("band", "bucket", "doc_id", "_bucket"),
+                epoch_id,
+            )
+            _epoch_append(
                 docs_store,
                 sig.select(
                     "doc_id", "shm", _hash_bucket(F.col("doc_id").cast("string")).alias("_bucket")
                 ),
-                ["doc_id"],
+                epoch_id,
             )
+            # advance the ordering watermark LAST (after the store writes):
+            # a crash before this point replays the epoch, which the guard
+            # admits via max_epoch
+            if bounds["hi"] is not None:
+                hi = bounds["hi"]
+                cur["max_indexed_id"] = (
+                    hi if max_indexed is None else max(max_indexed, hi)
+                )
+            cur["max_epoch"] = max(max_epoch, int(epoch_id))
+            fs.write_text_atomic(meta_path, _json.dumps(cur))
         finally:
             new_bands.unpersist()
             sig.unpersist()
@@ -1145,3 +1335,44 @@ def minhash_dedup_stream(
             [], f"doc_id {id_type}, dup_of {id_type}, kept boolean"
         )
     return spark.read.parquet(verdicts_store).drop("_epoch")
+
+
+def compact_minhash_stream_index(spark, sink_dir: str) -> dict[str, dict[str, int]]:
+    """``rewrite_data_files`` analogue for the streaming LSH index: fold
+    each store's accumulated ``_epoch=N`` partitions into one file set per
+    bucket under a fresh ``_epoch=-K``, dropping crash-replay duplicates
+    (postings are a set; docs are unique per doc_id), then remove the
+    superseded partitions — candidate lookups go back to opening ~one
+    file per touched bucket. Run from a maintenance window (no concurrent
+    stream writer). Crash-safe like ``compact_exact_store``: the staged
+    fold is renamed in at a fresh ordinal and duplicates left by a crash
+    are absorbed by the read side's ``distinct`` / ``dropDuplicates``."""
+    import os as _os
+
+    from mysql_time_machine_spark.fsio import MetaFS
+
+    fs = MetaFS(sink_dir, spark)
+    out: dict[str, dict[str, int]] = {}
+    for name, dedupe in (
+        ("bands", lambda df: df.select("band", "bucket", "doc_id", "_bucket").distinct()),
+        (
+            "docs",
+            lambda df: df.dropDuplicates(["doc_id"]).select("doc_id", "shm", "_bucket"),
+        ),
+    ):
+        store = _os.path.join(sink_dir, name)
+        if not fs.isdir(store):
+            out[name] = {"folded_buckets": 0, "dropped_epoch_partitions": 0}
+            continue
+        fold_k = _next_fold_ordinal(fs, store)
+        tmp = _os.path.join(sink_dir, f"_compact_tmp_{name}")
+        fs.rmtree(tmp)
+        (
+            dedupe(spark.read.parquet(store))
+            .repartition("_bucket")
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(tmp)
+        )
+        out[name] = _fold_install(fs, store, tmp, fold_k)
+    return out

@@ -193,3 +193,109 @@ def test_stream_minhash_full_replay_over_populated_store_idempotent(spark, tmp_p
     assert replayed == first == _expected(spark, spark.read.parquet(src))
     docs_store = spark.read.parquet(f"{sink}/docs")
     assert docs_store.count() == docs_store.select("doc_id").distinct().count() == len(rows)
+
+
+def test_stream_minhash_append_only_writes(spark, tmp_path):
+    """Merge-on-read write shape: an incremental drop APPENDS new epoch
+    partitions — no pre-existing index file is rewritten or deleted
+    (bytes/epoch proportional to the batch, never the store)."""
+    import hashlib
+    import os
+
+    from mysql_time_machine_spark.operators.dedup import minhash_dedup_stream
+
+    rows = _corpus()
+    src = str(tmp_path / "drops")
+    sink = str(tmp_path / "sink")
+    _write_drops(spark, rows[:12], src, 2)
+    minhash_dedup_stream(
+        spark, src, sink_dir=sink, threshold=0.2, max_files_per_trigger=1, n_buckets=16
+    )
+
+    def hashes():
+        out = {}
+        for store in ("bands", "docs"):
+            for dirpath, _d, files in os.walk(os.path.join(sink, store)):
+                for fn in files:
+                    if fn.endswith(".parquet"):
+                        p = os.path.join(dirpath, fn)
+                        with open(p, "rb") as f:
+                            out[p] = hashlib.md5(f.read()).hexdigest()
+        return out
+
+    before = hashes()
+    spark.createDataFrame(rows[12:]).coalesce(1).write.mode("append").parquet(src)
+    final = _snap(
+        minhash_dedup_stream(
+            spark, src, sink_dir=sink, threshold=0.2, max_files_per_trigger=1, n_buckets=16
+        )
+    )
+    assert final == _expected(spark, spark.read.parquet(src))
+    after = hashes()
+    assert set(before) <= set(after)  # nothing deleted
+    assert all(after[p] == h for p, h in before.items())  # nothing rewritten
+
+
+def test_stream_minhash_out_of_order_drop_fails_fast(spark, tmp_path):
+    """A later drop whose min doc_id is not above the indexed watermark
+    must fail LOUDLY (the file source orders by mtime, so a back-dated
+    file would otherwise silently break the pure-function-of-corpus
+    property the oracle gates)."""
+    from mysql_time_machine_spark.operators.dedup import minhash_dedup_stream
+
+    rows = _corpus()
+    src = str(tmp_path / "drops")
+    sink = str(tmp_path / "sink")
+    _write_drops(spark, rows[:9], src, 1)
+    minhash_dedup_stream(
+        spark, src, sink_dir=sink, threshold=0.2, max_files_per_trigger=1, n_buckets=16
+    )
+    # back-dated drop: ids 4-6 arrive after id 8 was indexed
+    spark.createDataFrame(rows[4:7]).coalesce(1).write.mode("append").parquet(src)
+    with pytest.raises(Exception, match="out-of-order"):
+        minhash_dedup_stream(
+            spark, src, sink_dir=sink, threshold=0.2, max_files_per_trigger=1, n_buckets=16
+        )
+
+
+def test_stream_minhash_compaction_folds_epochs(spark, tmp_path):
+    """compact_minhash_stream_index folds the per-epoch partitions to one
+    fold partition per bucket; reads and a post-compaction incremental
+    drop still match the batch rule."""
+    import os
+
+    from mysql_time_machine_spark.operators.dedup import (
+        compact_minhash_stream_index,
+        minhash_dedup_stream,
+    )
+
+    rows = _corpus()
+    src = str(tmp_path / "drops")
+    sink = str(tmp_path / "sink")
+    _write_drops(spark, rows[:12], src, 3)
+    minhash_dedup_stream(
+        spark, src, sink_dir=sink, threshold=0.2, max_files_per_trigger=1, n_buckets=16
+    )
+    res = compact_minhash_stream_index(spark, sink)
+    assert res["bands"]["folded_buckets"] >= 1
+    for store in ("bands", "docs"):
+        root = os.path.join(sink, store)
+        for entry in os.listdir(root):
+            if entry.startswith("_bucket="):
+                eps = [
+                    e
+                    for e in os.listdir(os.path.join(root, entry))
+                    if e.startswith("_epoch=")
+                ]
+                assert eps == ["_epoch=-1"], (store, entry, eps)
+    docs_store = spark.read.parquet(f"{sink}/docs")
+    assert docs_store.count() == docs_store.select("doc_id").distinct().count() == 12
+
+    # post-compaction drop: candidate lookup reads folded postings
+    spark.createDataFrame(rows[12:]).coalesce(1).write.mode("append").parquet(src)
+    final = _snap(
+        minhash_dedup_stream(
+            spark, src, sink_dir=sink, threshold=0.2, max_files_per_trigger=1, n_buckets=16
+        )
+    )
+    assert final == _expected(spark, spark.read.parquet(src))

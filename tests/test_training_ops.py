@@ -924,3 +924,51 @@ def test_seed_centroids_guards(spark):
     # exactly-enough passes
     assert seed_centroids_pp(few, nlist=2).count() == 2
     assert seed_centroids_parallel(few, nlist=2).count() == 2
+
+
+def test_exact_dedup_stream_compaction_folds_epochs(spark, tmp_path):
+    """compact_exact_store folds the per-epoch absolute rows to one fold
+    partition per bucket (restoring the resolve-free fast read); reads
+    before/after are identical and a post-compaction resume still
+    converges to the batch aggregate."""
+    import os
+
+    from mysql_time_machine_spark.operators.dedup import (
+        compact_exact_store,
+        exact_dedup,
+        exact_dedup_stream,
+    )
+
+    src = str(tmp_path / "drops")
+    sink = str(tmp_path / "sink")
+    rows = [Row(doc_id=i, text=f"t-{i % 7}") for i in range(20)]
+    for lo in (0, 10):
+        spark.createDataFrame(rows[lo : lo + 10]).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def snap(df):
+        return sorted(
+            (r["text_md5"], r["canonical_id"], r["n_copies"]) for r in df.collect()
+        )
+
+    before = snap(exact_dedup_stream(spark, src, max_files_per_trigger=1, sink_dir=sink))
+    res = compact_exact_store(spark, sink)
+    assert res["folded_buckets"] >= 1 and res["dropped_epoch_partitions"] >= 1
+    store = os.path.join(sink, "store")
+    for entry in os.listdir(store):
+        if entry.startswith("_bucket="):
+            eps = [
+                e for e in os.listdir(os.path.join(store, entry)) if e.startswith("_epoch=")
+            ]
+            assert eps == ["_epoch=-1"], (entry, eps)
+    from mysql_time_machine_spark.operators.dedup import read_exact_store
+
+    assert snap(read_exact_store(spark, sink)) == before
+
+    # post-compaction incremental drop (new key + a dup of an old text)
+    spark.createDataFrame(
+        [Row(doc_id=100, text="fresh"), Row(doc_id=101, text="t-3")]
+    ).coalesce(1).write.mode("append").parquet(src)
+    final = snap(exact_dedup_stream(spark, src, max_files_per_trigger=1, sink_dir=sink))
+    assert final == snap(exact_dedup(spark.read.parquet(src)))
