@@ -485,8 +485,9 @@ def ngram_jaccard_pairs(
     cond = F.col("a_plb") == F.col("b_lb")
     for c in block_cols:
         cond = cond & (F.col(f"a_{c}") == F.col(f"b_{c}"))
+    # |A ∪ B| = |A| + |B| - |A ∩ B| (distinct arrays) — see minhash_lsh_pairs
     inter = F.size(F.array_intersect("a_sh", "b_sh"))
-    union = F.size(F.array_union("a_sh", "b_sh"))
+    union = F.size("a_sh") + F.size("b_sh") - inter
     rep_pairs = (
         a.join(b, cond)
         .where(F.col("a_id") < F.col("b_id"))
@@ -624,8 +625,11 @@ def minhash_lsh_pairs(
         cand.join(sh_only.select(F.col("id").alias("a_id"), F.col("shm").alias("a_sh")), "a_id")
         .join(sh_only.select(F.col("id").alias("b_id"), F.col("shm").alias("b_sh")), "b_id")
     )
+    # |A ∪ B| = |A| + |B| - |A ∩ B| exactly (both arrays are DISTINCT by
+    # construction), so the union's hash-set build is skipped — one set
+    # operation per candidate pair instead of two, same jaccard bits
     inter = F.size(F.array_intersect("a_sh", "b_sh"))
-    union = F.size(F.array_union("a_sh", "b_sh"))
+    union = F.size("a_sh") + F.size("b_sh") - inter
     rep_out = verified.select(
         "a_id", "b_id",
         (inter / F.greatest(union, F.lit(1))).cast("double").alias("jaccard"),
@@ -754,8 +758,21 @@ def simhash_pairs(
     is GC'd.
     """
     n_chunks = max_hamming + 1
-    base = docs.select(
-        F.col(id_col).alias("id"), *[F.col(c) for c in block_cols], simhash(text_col).alias("h")
+    # the fingerprint fold is the operator's CPU (64-slot vote accumulator
+    # per token): spread it over the cluster BEFORE computing — a small
+    # corpus arrives as one file -> one partition, and localCheckpoint
+    # materializes with input partitioning, so without this the whole
+    # corpus hashes in a single task (measured 0.79 s of a 0.94 s wall at
+    # sf0.1). Scale-adaptive: inputs already at-or-above default
+    # parallelism are left untouched.
+    src = docs.select(
+        F.col(id_col).alias("id"), *[F.col(c) for c in block_cols], F.col(text_col)
+    )
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    base = src.select(
+        "id", *[F.col(c) for c in block_cols], simhash(text_col).alias("h")
     ).localCheckpoint(eager=True)
     groups = base.groupBy(*block_cols, "h").agg(F.min("id").alias("rep_id"))
     chunked = groups.select(
@@ -1257,8 +1274,10 @@ def minhash_dedup_stream(
                 cand.join(sig.select("doc_id", "shm"), "doc_id")
                 .join(other_sh.dropDuplicates(["other_id"]), "other_id")
             )
+            # |A ∪ B| = |A| + |B| - |A ∩ B| (distinct arrays) — see
+            # minhash_lsh_pairs
             inter = F.size(F.array_intersect("shm", "other_sh"))
-            union = F.size(F.array_union("shm", "other_sh"))
+            union = F.size("shm") + F.size("other_sh") - inter
             dup_of = (
                 verified.where(
                     (inter / F.greatest(union, F.lit(1))) >= F.lit(threshold)
