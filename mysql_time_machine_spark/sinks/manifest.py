@@ -64,6 +64,12 @@ class FencedEpochSkipped(Exception):
 
 
 class ManifestParquetSink(Sink):
+    #: max data files per (epoch, day) the changelog append produces —
+    #: bounds the small-files growth of the grow-forever surface while
+    #: keeping the write parallel across days; raise for epochs whose
+    #: per-day changelog volume exceeds ~this many good-sized files
+    CHANGELOG_FILES_PER_DAY = 4
+
     def __init__(
         self,
         spark: SparkSession,
@@ -873,9 +879,29 @@ class ManifestParquetSink(Sink):
         if changelog is not None:
             # partitioned by UTC day — the Iceberg days(ts) analogue; the
             # manifest's day -> files map is what lets read_changelog
-            # prune at the file level for daily imports
+            # prune at the file level for daily imports. Cluster by
+            # (day, deterministic sub-key) before the write: without it
+            # every upstream partition emits one file into every day dir
+            # (up to days x shuffle_partitions tiny files PER EPOCH — the
+            # small-files problem the guide's I/O section warns about,
+            # paid again at every read_changelog listing); the sub-key
+            # caps files/day/epoch at CHANGELOG_FILES_PER_DAY while
+            # keeping up to days x that many write tasks. Deterministic
+            # key (xxhash64 of the event's position, never rand()) so a
+            # retried task reproduces its row assignment.
             cl_dir = os.path.join(self.root, "changelog", f"s{snap:06d}")
-            changelog.write.mode("overwrite").partitionBy("day_utc").parquet(cl_dir)
+            (
+                changelog.repartition(
+                    F.col("day_utc"),
+                    F.pmod(
+                        F.xxhash64("gtid_seq", "log_pos"),
+                        F.lit(self.CHANGELOG_FILES_PER_DAY),
+                    ),
+                )
+                .write.mode("overwrite")
+                .partitionBy("day_utc")
+                .parquet(cl_dir)
+            )
             for entry in self.fs.listdir(cl_dir):
                 if not entry.startswith("day_utc="):
                     continue
