@@ -49,6 +49,12 @@ from pyspark.sql import SparkSession
 
 
 def scheme_of(path: str) -> str | None:
+    # 'file:' URIs may be single-slash Hadoop style ('file:/tmp/x') with
+    # no '://' — recognize the scheme by prefix, not the separator, so
+    # they route to the local backend (and get properly stripped there)
+    # instead of being treated as a relative path named 'file:...'
+    if path.startswith("file:"):
+        return "file"
     return path.split("://", 1)[0] if "://" in path else None
 
 
@@ -87,8 +93,21 @@ class MetaFS:
     # -- path helpers ---------------------------------------------------------
     @staticmethod
     def _l(path: str) -> str:
-        """Local-os form of a path (strip a file:// prefix)."""
-        return path[7:] if path.startswith("file://") else path
+        """Local-os form of a path: strip any 'file:' URI form —
+        'file:/p', 'file:///p', 'file://localhost/p' all mean local /p; a
+        non-local authority ('file://host/p') is rejected loudly instead
+        of silently misrouting to a relative 'host/p'."""
+        if not path.startswith("file:"):
+            return path
+        from urllib.parse import urlparse
+
+        u = urlparse(path)
+        if u.netloc not in ("", "localhost"):
+            raise ValueError(
+                f"file URI with non-local authority {u.netloc!r} cannot be "
+                f"accessed through the local backend: {path!r}"
+            )
+        return u.path or "/"
 
     def _jpath(self, path: str):
         return self._jvm.org.apache.hadoop.fs.Path(path)
@@ -131,12 +150,24 @@ class MetaFS:
 
     def _entries(self, path: str) -> list[tuple[str, bool]]:
         """(name, is_dir) children — one listing call per directory."""
+        return [(n, d) for n, d, _m in self._entries_stat(path)]
+
+    def _entries_stat(self, path: str) -> list[tuple[str, bool, float]]:
+        """(name, is_dir, mtime_epoch_sec) children — one listing call
+        per directory; mtime rides the same scandir/listStatus entries."""
         if self.local:
             with os.scandir(self._l(path)) as it:
-                return sorted((e.name, e.is_dir()) for e in it)
+                return sorted(
+                    (e.name, e.is_dir(), 0.0 if e.is_dir() else e.stat().st_mtime)
+                    for e in it
+                )
         fs = self._fs(path)
         return sorted(
-            (st.getPath().getName(), st.isDirectory())
+            (
+                st.getPath().getName(),
+                st.isDirectory(),
+                0.0 if st.isDirectory() else st.getModificationTime() / 1000.0,
+            )
             for st in fs.listStatus(self._jpath(path))
         )
 
@@ -144,14 +175,25 @@ class MetaFS:
         """(dirpath, file_names) for every directory under ``base``,
         children before parents — the os.walk(topdown=False) shape the
         orphan sweep wants, one listing per directory on both backends."""
+        for dirpath, files in self.walk_bottomup_stat(base):
+            yield dirpath, [n for n, _m in files]
+
+    def walk_bottomup_stat(
+        self, base: str
+    ) -> Iterator[tuple[str, list[tuple[str, float]]]]:
+        """Like ``walk_bottomup`` but each file carries its modification
+        time (epoch seconds) straight from the directory listing — the
+        orphan sweep's age guard then needs NO per-file getFileStatus
+        RPC on the Hadoop backend (the listStatus that found the file
+        already fetched its status)."""
         if not self.isdir(base):
             return
-        files: list[str] = []
-        for name, is_dir in self._entries(base):
+        files: list[tuple[str, float]] = []
+        for name, is_dir, mtime in self._entries_stat(base):
             if is_dir:
-                yield from self.walk_bottomup(os.path.join(base, name))
+                yield from self.walk_bottomup_stat(os.path.join(base, name))
             else:
-                files.append(name)
+                files.append((name, mtime))
         yield base, files
 
     # -- small-file reads/writes ----------------------------------------------
@@ -237,7 +279,15 @@ class MetaFS:
     def remove(self, path: str) -> None:
         if self.local:
             os.remove(self._l(path))
-        elif not self._fs(path).delete(self._jpath(path), False):
+            return
+        fs, p = self._fs(path), self._jpath(path)
+        if not fs.delete(p, False):
+            # Hadoop's delete() returns false BOTH for "missing" and for
+            # "failed to delete" (e.g. permissions) — disambiguate so a
+            # real deletion failure is not misreported as a missing file
+            # (which remove_if_exists-style callers would swallow)
+            if fs.exists(p):
+                raise OSError(f"delete failed (not missing): {path!r}")
             raise FileNotFoundError(path)
 
     def remove_if_exists(self, path: str) -> bool:

@@ -656,13 +656,16 @@ class ManifestParquetSink(Sink):
         deleted = 0
         for sub in ("data", "changelog"):
             base = os.path.join(self.root, sub)
-            for dirpath, files in self.fs.walk_bottomup(base):
-                for fn in files:
+            # mtimes ride the directory listing (walk_bottomup_stat), so
+            # the age guard costs zero per-file getFileStatus RPCs on the
+            # Hadoop backend — large orphan sweeps are one listing per dir
+            for dirpath, files in self.fs.walk_bottomup_stat(base):
+                for fn, mtime in files:
                     p = os.path.join(dirpath, fn)
                     if (
                         fn.endswith(".parquet")
                         and p not in referenced
-                        and self.fs.getmtime(p) <= cutoff
+                        and mtime <= cutoff
                     ):
                         self.fs.remove(p)
                         deleted += 1

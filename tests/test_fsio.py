@@ -143,3 +143,39 @@ def test_pending_store_hadoop_backend(spark, fs_log, tmp_path_factory):
     )
     assert len(got) == len(exp)
     assert got["content_sha256"].tolist() == exp["content_sha256"].tolist()
+
+
+def test_file_uri_forms_route_local(tmp_path):
+    """'file:' URIs in all three spellings route to the local backend and
+    strip to the same os path; a foreign authority fails loudly instead
+    of silently becoming a relative path."""
+    import pytest
+
+    from mysql_time_machine_spark.fsio import MetaFS, scheme_of
+
+    p = tmp_path / "x.json"
+    p.write_text("{}")
+    assert scheme_of(f"file:{p}") == scheme_of(f"file://{p}") == "file"
+    fs = MetaFS(str(tmp_path))
+    assert fs.exists(f"file:{p}")          # single-slash Hadoop form
+    assert fs.exists(f"file://{p}")        # double-slash (empty authority)
+    assert fs.exists(f"file://localhost{p}")
+    with pytest.raises(ValueError, match="authority"):
+        fs.exists(f"file://otherhost{p}")
+
+
+def test_walk_bottomup_stat_carries_mtimes(tmp_path):
+    """The stat walk's mtimes match the filesystem without per-file
+    getmtime calls (the orphan sweep's listing-only age guard)."""
+    import os
+
+    from mysql_time_machine_spark.fsio import MetaFS
+
+    d = tmp_path / "a" / "b"
+    d.mkdir(parents=True)
+    f = d / "f.parquet"
+    f.write_bytes(b"x")
+    fs = MetaFS(str(tmp_path))
+    walked = dict(fs.walk_bottomup_stat(str(tmp_path / "a")))
+    names = {n: m for n, m in walked[str(d)]}
+    assert abs(names["f.parquet"] - os.path.getmtime(f)) < 1e-6
