@@ -151,13 +151,22 @@ class ApplyJob:
                 # where the sorted kernel would shuffle every raw event
                 impl = "sql"
                 want_width = False
-            else:
-                # small-batch regime: the later scans (DDL collect, collapse)
-                # win from a cache. A BIG batch must NOT be materialized —
-                # caching 10s of millions of rows to re-read them twice costs
-                # more than the column-pruned parquet re-scans it saves, and
-                # the cache build is an IO term that does not shrink with
-                # cores (measured: BENCH/STREAM_SCALING_r6.md)
+            elif (
+                events_consumed.get("DDL", 0) > 0
+                or (cfg.write_changelog and not cfg.dry_run)
+                or (impl == "pandas" and cfg.hot_key_threshold > 0)
+            ):
+                # small-batch regime WITH a second consumer (DDL collect,
+                # changelog branch, or the pandas kernel's hot-key
+                # detection aggregate): the re-scans win from a cache. A
+                # BIG batch must NOT be materialized — caching 10s of
+                # millions of rows to re-read them twice costs more than
+                # the column-pruned parquet re-scans it saves, and the
+                # cache build is an IO term that does not shrink with
+                # cores (measured: BENCH/STREAM_SCALING_r6.md). A
+                # single-consumer epoch (plain DDL-free stream) skips the
+                # cache too: building it would serve exactly one read,
+                # strictly worse than the collapse's own pruned scan.
                 batch.persist()
                 persisted = True
             if want_width:
