@@ -717,6 +717,16 @@ class ManifestParquetSink(Sink):
         registry = getattr(self, "_pending_registry", None) or m.get("registry", [])
 
         snap = m["snapshot_id"] + 1
+        # overlap the changelog append with the (heavier) merge write:
+        # the two jobs are independent until the single manifest commit,
+        # and Spark's FIFO scheduler back-fills the merge's straggler
+        # tail with changelog tasks (guide: overlap independent jobs).
+        # The thread only WRITES FILES — the atomic commit still happens
+        # once, in _finish_merge, after joining it; a failure there
+        # surfaces before the commit, and a crash leaves unreferenced
+        # files for remove_orphan_files, exactly like any other crash
+        # between write and commit.
+        cl_job = self._start_changelog_write(changelog, snap)
         batch = batch.withColumn("_bucket", salted_shuffle_key(self.n_buckets))
         batch.persist()
         try:
@@ -758,7 +768,7 @@ class ManifestParquetSink(Sink):
                             delta_buckets.setdefault(str(b), []).extend(files)
                 return self._finish_merge(
                     m, snap, epoch_id, buckets, delta_buckets, stats_rows,
-                    business_columns, registry, lineage, changelog,
+                    business_columns, registry, lineage, cl_job,
                 )
 
             if m.get("delta_buckets"):
@@ -855,10 +865,54 @@ class ManifestParquetSink(Sink):
             buckets.update(new_buckets)
             return self._finish_merge(
                 m, snap, epoch_id, buckets, {}, stats_rows,
-                business_columns, registry, lineage, changelog,
+                business_columns, registry, lineage, cl_job,
             )
         finally:
             batch.unpersist()
+
+    def _start_changelog_write(
+        self, changelog: DataFrame | None, snap: int
+    ) -> dict[str, Any] | None:
+        """Kick off the day-partitioned changelog append on a driver
+        thread so its tasks back-fill the merge write's straggler tail;
+        returns a handle _finish_merge joins before the atomic commit.
+        Partitioned by UTC day — the Iceberg days(ts) analogue; the
+        manifest's day -> files map is what lets read_changelog prune at
+        the file level for daily imports. Clustered by (day,
+        deterministic sub-key) first: without it every upstream partition
+        emits one file into every day dir (up to days x shuffle_partitions
+        tiny files PER EPOCH); the sub-key caps files/day/epoch at
+        CHANGELOG_FILES_PER_DAY while keeping up to days x that many
+        write tasks. Deterministic key (xxhash64 of the event's position,
+        never rand()) so a retried task reproduces its row assignment."""
+        if changelog is None:
+            return None
+        import threading
+
+        cl_dir = os.path.join(self.root, "changelog", f"s{snap:06d}")
+        job: dict[str, Any] = {"dir": cl_dir, "error": None}
+
+        def _write() -> None:
+            try:
+                (
+                    changelog.repartition(
+                        F.col("day_utc"),
+                        F.pmod(
+                            F.xxhash64("gtid_seq", "log_pos"),
+                            F.lit(self.CHANGELOG_FILES_PER_DAY),
+                        ),
+                    )
+                    .write.mode("overwrite")
+                    .partitionBy("day_utc")
+                    .parquet(cl_dir)
+                )
+            except BaseException as e:  # surfaces at the join, pre-commit
+                job["error"] = e
+
+        t = threading.Thread(target=_write, name=f"mtm-changelog-s{snap}", daemon=True)
+        job["thread"] = t
+        t.start()
+        return job
 
     def _finish_merge(
         self,
@@ -871,40 +925,21 @@ class ManifestParquetSink(Sink):
         business_columns: list[tuple[str, str]],
         registry: list[dict],
         lineage: dict[str, Any] | None,
-        changelog: DataFrame | None,
+        cl_job: dict[str, Any] | None,
     ) -> bool:
-        """Shared commit tail of both merge strategies: changelog append,
-        lineage counters, max-gtid advance, and the single atomic manifest
-        swap that makes MERGE+changelog+fence one commit."""
+        """Shared commit tail of both merge strategies: join the
+        concurrent changelog append (started before the merge write —
+        guide §2.6 overlap), lineage counters, max-gtid advance, and the
+        single atomic manifest swap that makes MERGE+changelog+fence one
+        commit."""
         changelog_files: dict[str, list[str]] = self._changelog_by_day(
             m.get("changelog_files", {})
         )
-        if changelog is not None:
-            # partitioned by UTC day — the Iceberg days(ts) analogue; the
-            # manifest's day -> files map is what lets read_changelog
-            # prune at the file level for daily imports. Cluster by
-            # (day, deterministic sub-key) before the write: without it
-            # every upstream partition emits one file into every day dir
-            # (up to days x shuffle_partitions tiny files PER EPOCH — the
-            # small-files problem the guide's I/O section warns about,
-            # paid again at every read_changelog listing); the sub-key
-            # caps files/day/epoch at CHANGELOG_FILES_PER_DAY while
-            # keeping up to days x that many write tasks. Deterministic
-            # key (xxhash64 of the event's position, never rand()) so a
-            # retried task reproduces its row assignment.
-            cl_dir = os.path.join(self.root, "changelog", f"s{snap:06d}")
-            (
-                changelog.repartition(
-                    F.col("day_utc"),
-                    F.pmod(
-                        F.xxhash64("gtid_seq", "log_pos"),
-                        F.lit(self.CHANGELOG_FILES_PER_DAY),
-                    ),
-                )
-                .write.mode("overwrite")
-                .partitionBy("day_utc")
-                .parquet(cl_dir)
-            )
+        if cl_job is not None:
+            cl_job["thread"].join()
+            if cl_job["error"] is not None:
+                raise cl_job["error"]  # before the commit — nothing is listed
+            cl_dir = cl_job["dir"]
             for entry in self.fs.listdir(cl_dir):
                 if not entry.startswith("day_utc="):
                     continue
