@@ -40,13 +40,15 @@ class EngineConfig:
     hot_key_threshold: int = 500_000
     #: sub-salt fan-out for detected hot keys (slices per hot key)
     hot_key_split: int = 8
-    #: byte-aware Arrow batch sizing for the Python collapse kernels: the
-    #: reference allows unbounded cell sizes (CHANGES.txt:109-110) while
-    #: arrow.maxRecordsPerBatch counts ROWS, so the engine estimates the
-    #: event payload width (batch replay: bounded sample; streaming: free
-    #: rider on the per-epoch stats aggregate) and caps records-per-batch
-    #: near SPARK_GRAFT_ARROW_TARGET_BYTES. Narrow rows keep the measured
-    #: 100k ceiling — zero change on normal workloads.
+    #: byte-aware Arrow records-cap tuning for BATCH replay's Python
+    #: kernels: estimate the payload width from a bounded limit() sample
+    #: and cap records-per-batch near SPARK_GRAFT_ARROW_TARGET_BYTES.
+    #: Advisory only since r7 — the hard fat-row guard (unbounded cell
+    #: sizes, CHANGES.txt:109-110) is the session-wide
+    #: arrow.maxBytesPerBatch byte cap (session.get_spark), which is why
+    #: the streaming job no longer computes a per-epoch width estimate.
+    #: Narrow rows keep the measured 100k ceiling — zero change on
+    #: normal workloads.
     auto_arrow_batch: bool = True
 
     # --- sink behaviour ----------------------------------------------------

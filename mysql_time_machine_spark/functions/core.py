@@ -74,10 +74,11 @@ def event_payload_bytes(
     before: Column | str = "before", after: Column | str = "after"
 ) -> Column:
     """Approximate wire width of one row event's payload: summed cell
-    string lengths of both images plus a fixed envelope. Feeds the
-    byte-aware Arrow batch cap (session.tune_arrow_batch_for_width) so
-    multi-MB blob cells (CHANGES.txt:109-110, no max cell size) shrink
-    the pandas-kernel batch instead of the executor. Pure Catalyst
+    string lengths of both images plus a fixed envelope. Feeds batch
+    replay's bounded-sample Arrow records-cap tune
+    (session.tune_arrow_batch_for_width); the hard fat-row guard is the
+    session-wide ``arrow.maxBytesPerBatch`` byte cap (session.get_spark),
+    so this estimate is never computed per streaming epoch. Pure Catalyst
     higher-order functions — no Python."""
 
     def _map_bytes(c):

@@ -15,16 +15,21 @@ from pyspark.sql import SparkSession
 
 
 def tune_arrow_batch_for_width(spark: SparkSession, est_row_bytes: int) -> int:
-    """Byte-aware Arrow batch sizing — the guard the 100k-row default
-    needs under the reference's no-max-cell-size rule
-    (/root/reference/CHANGES.txt:109-110, multi-MB blob cells):
-    ``arrow.maxRecordsPerBatch`` counts ROWS, so 100k rows of multi-MB
-    ``content`` would assemble a hundreds-of-GB Arrow batch in one Python
-    worker. Given an estimated payload width, cap records-per-batch so a
-    batch stays near SPARK_GRAFT_ARROW_TARGET_BYTES (default 128 MiB),
-    clamped to [16, SPARK_GRAFT_ARROW_BATCH]. Narrow rows keep the 100k
-    ceiling (measured optimal, BENCH/SORTED_PAIRB_r4.md); fat rows shrink
-    the batch instead of the executor. Returns the applied value."""
+    """Byte-aware Arrow RECORDS-cap sizing from a width estimate: cap
+    records-per-batch so a batch stays near SPARK_GRAFT_ARROW_TARGET_BYTES
+    (default 128 MiB), clamped to [16, SPARK_GRAFT_ARROW_BATCH]. Narrow
+    rows keep the 100k ceiling (measured optimal, BENCH/SORTED_PAIRB_r4.md);
+    fat rows shrink the batch instead of the executor.
+
+    Since round 7 this is an ADVISORY tune on top of the hard guard: the
+    session pins ``arrow.maxBytesPerBatch`` to the same byte target
+    (get_spark below), which the JVM Arrow writers enforce directly on
+    every transfer — so a path that skips this tune (the streaming job
+    dropped its per-epoch width scan) is still byte-bounded under the
+    reference's no-max-cell-size rule (CHANGES.txt:109-110). Callers with
+    a cheap width estimate in hand (batch replay's limit() sample, the
+    multimodal batch_size_hint) still apply it so the records cap matches
+    the expected width up front. Returns the applied value."""
     target = int(os.environ.get("SPARK_GRAFT_ARROW_TARGET_BYTES", str(128 << 20)))
     ceiling = int(os.environ.get("SPARK_GRAFT_ARROW_BATCH", "100000"))
     n = max(16, min(ceiling, target // max(1, int(est_row_bytes))))
@@ -37,12 +42,13 @@ def ensure_default_arrow_batch(spark: SparkSession) -> int:
     session-global and read at EXECUTION time, so a fat-row tune (above)
     would otherwise stay sticky and silently shrink batches for every
     later pandas-UDF workload in the session. Scoping protocol: the
-    streaming job restores the ceiling after each micro-batch (execution
-    completes inside the batch); the narrow-row ANN top-k kernel
-    re-applies it at entry (multimodal instead re-TUNES via its
-    batch_size_hint — media blobs are the fat-row case). Batch replay's
-    tune intentionally persists until its lazy plan executes; run replay
-    plans before building unrelated pandas plans in the same session.
+    narrow-row ANN top-k kernel re-applies it at entry (multimodal
+    instead re-TUNES via its batch_size_hint — media blobs are the
+    fat-row case; the streaming job no longer tunes — the session byte
+    cap covers its kernels, so there is nothing to restore per epoch).
+    Batch replay's tune intentionally persists until its lazy plan
+    executes; run replay plans before building unrelated pandas plans in
+    the same session.
 
     KNOWN ORDERING HAZARD (accepted, documented): because the conf is
     read at execution, interleaving plan BUILDS that tune with plan
@@ -52,9 +58,8 @@ def ensure_default_arrow_batch(spark: SparkSession) -> int:
     execute the fat plan: it runs at the default cap. PySpark exposes no
     per-plan Arrow cap to fix this structurally; the rule is EXECUTE a
     tuned plan before entering another operator that touches the cap
-    (all package-internal paths follow it — the streaming job tunes and
-    executes inside one micro-batch, replay executes its plan in the
-    same call chain)."""
+    (all package-internal paths follow it — replay executes its plan in
+    the same call chain)."""
     ceiling = int(os.environ.get("SPARK_GRAFT_ARROW_BATCH", "100000"))
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(ceiling))
     return ceiling
@@ -85,6 +90,19 @@ def get_spark(
         .config(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
             os.environ.get("SPARK_GRAFT_ARROW_BATCH", "100000"),
+        )
+        # the HARD fat-row guard: Spark 4's byte-denominated Arrow batch
+        # cap chunks every JVM->Python transfer (mapInPandas AND grouped
+        # map — GroupedPythonArrowInput honors it) at this many bytes, so
+        # multi-MB cells (no-max-cell-size rule, CHANGES.txt:109-110) can
+        # never assemble an unbounded batch regardless of the row cap.
+        # This replaces the round-6 per-epoch width-estimate tune in the
+        # streaming job, which paid a full map-column scan+fold per
+        # micro-batch to approximate exactly this bound (r7: that term
+        # was ~3x the rest of the stats aggregate).
+        .config(
+            "spark.sql.execution.arrow.maxBytesPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_TARGET_BYTES", str(128 << 20)),
         )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")

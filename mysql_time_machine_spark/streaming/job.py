@@ -112,29 +112,26 @@ class ApplyJob:
                 batch = self.txn_store.resolve(batch, epoch_id)
         batch = filter_events(batch, cfg)
         batch = batch.withColumn("_class", classify_event())
-        tuned_arrow = False
         persisted = False
         try:
             impl = cfg.resolved_collapse_impl("streaming")
             # (A3/A5) event-level metrics: consumed counts by class + max
             # replication delay, excluding ROTATE's ts=0 (CHANGES.txt:58-61).
-            # When a Python collapse kernel is active, the payload-width
-            # estimate for the byte-aware Arrow batch cap rides the SAME
-            # aggregate — no extra pass over the micro-batch. The empty-
-            # batch probe rides it too: an empty micro-batch (stateful
-            # upstream ops like txn-buffer timeouts emit them) yields zero
-            # groups, so the dedicated isEmpty() job the epoch used to pay
-            # is free.
-            want_width = cfg.auto_arrow_batch and impl in ("pandas", "sorted")
+            # The empty-batch probe rides the same aggregate: an empty
+            # micro-batch (stateful upstream ops like txn-buffer timeouts
+            # emit them) yields zero groups, so the dedicated isEmpty()
+            # job the epoch used to pay is free. The aggregate reads ONLY
+            # narrow columns — the round-6 payload-width term (a full
+            # map-column scan+fold per epoch, ~3x the rest of this scan)
+            # is gone: the fat-row guard it approximated is now the
+            # session-wide arrow.maxBytesPerBatch byte cap (session.py),
+            # which the JVM Arrow writers enforce directly on every
+            # Python-kernel transfer.
             aggs = [
                 F.count("*").alias("n"),
                 F.max(F.when(F.col("_class") != "ROTATE", F.col("ts"))).alias("max_ts"),
                 F.max("gtid_seq").alias("max_gtid"),
             ]
-            if want_width:
-                from mysql_time_machine_spark.functions.core import event_payload_bytes
-
-                aggs.append(F.avg(event_payload_bytes()).alias("avg_row_bytes"))
             with _phase(self.spark, "stats-agg"):
                 stats = batch.groupBy("_class").agg(*aggs).collect()
             if not stats:
@@ -150,7 +147,6 @@ class ApplyJob:
                 # map-side combine shrinks the exchange to ~keys x cells,
                 # where the sorted kernel would shuffle every raw event
                 impl = "sql"
-                want_width = False
             elif (
                 events_consumed.get("DDL", 0) > 0
                 or (cfg.write_changelog and not cfg.dry_run)
@@ -169,15 +165,6 @@ class ApplyJob:
                 # strictly worse than the collapse's own pruned scan.
                 batch.persist()
                 persisted = True
-            if want_width:
-                from mysql_time_machine_spark.session import tune_arrow_batch_for_width
-
-                est = next(
-                    (r["avg_row_bytes"] for r in stats if r["_class"] == "ROW"), None
-                )
-                if est is not None:
-                    tune_arrow_batch_for_width(self.spark, int(est))
-                    tuned_arrow = True
 
             # (J0) DDL -> active schema; driver-side control flow, tiny.
             # The stats aggregate already counted DDL rows — the collect
@@ -270,13 +257,6 @@ class ApplyJob:
         finally:
             if persisted:
                 batch.unpersist()
-            if tuned_arrow:
-                # the kernels executed inside this batch (merge forces the
-                # plan); restore the ceiling so a fat-row epoch's tune never
-                # leaks into other pandas workloads on the shared session
-                from mysql_time_machine_spark.session import ensure_default_arrow_batch
-
-                ensure_default_arrow_batch(self.spark)
 
     # -- wiring -----------------------------------------------------------------
     def stream(self) -> DataFrame:

@@ -97,16 +97,16 @@ def test_fat_row_replay_all_kernels(spark, impl, arrow_conf_guard):
         assert applied == 100000  # sql kernel never pays Arrow; cap untouched
 
 
-def test_fat_row_streaming_apply(spark, tmp_path, arrow_conf_guard, monkeypatch):
-    """The streaming job's per-epoch stats aggregate carries the width
-    estimate: a fat-row micro-batch shrinks the Arrow batch before the
-    sorted kernel runs (observed via a spy — the tune is scoped to the
-    micro-batch and RESTORED afterwards, so later pandas-UDF workloads in
-    the session keep the default ceiling), and the merged table
-    round-trips the blobs."""
+def test_fat_row_streaming_apply(spark, tmp_path, arrow_conf_guard):
+    """A fat-row micro-batch through the streaming job at DEFAULT config:
+    the merged table round-trips multi-MB blobs, and the job never
+    touches the session records ceiling — since r7 the fat-row guard is
+    the session-wide ``arrow.maxBytesPerBatch`` byte cap (enforced
+    JVM-side on every kernel transfer; behavior pinned by
+    test_byte_cap_bounds_arrow_batches below), not a per-epoch
+    width-estimate tune of maxRecordsPerBatch."""
     import os
 
-    from mysql_time_machine_spark import session as session_mod
     from mysql_time_machine_spark.sinks.manifest import ManifestParquetSink
     from mysql_time_machine_spark.streaming.job import ApplyJob
 
@@ -123,22 +123,44 @@ def test_fat_row_streaming_apply(spark, tmp_path, arrow_conf_guard, monkeypatch)
         os.path.join(binlog, "epoch-000.parquet"),
     )
 
-    applied: list[int] = []
-    real_tune = session_mod.tune_arrow_batch_for_width
-    monkeypatch.setattr(
-        session_mod,
-        "tune_arrow_batch_for_width",
-        lambda sp, w: applied.append(real_tune(sp, w)) or applied[-1],
-    )
+    # the hard guard the streaming kernels rely on is active in-session
+    assert int(spark.conf.get("spark.sql.execution.arrow.maxBytesPerBatch").rstrip("b")) <= 128 * MB
 
     sink = ManifestParquetSink(spark, str(tmp_path / "sink"), n_buckets=4)
     cfg = EngineConfig(shuffle_partitions=4, write_changelog=False)
     ApplyJob(spark, binlog, sink, cfg).run_available()
 
-    # the tune ran for the fat micro-batch and was byte-aware...
-    assert applied and max(applied) <= 128, applied
-    # ...and the session ceiling is restored after the stream (scoped, not
-    # sticky — the cross-workload regression the r5 advice flagged)
+    # the records ceiling was never tuned (nothing to restore, no sticky
+    # cross-workload cap — the r5-advice regression class is gone by design)
     assert int(spark.conf.get(arrow_conf_guard)) == 100000
     got = {r["path"]: r for r in sink.read().select("path", F.length("content").alias("len")).collect()}
     assert len(got) == n and got["k0"]["len"] == mb * MB + 2
+
+
+def test_byte_cap_bounds_arrow_batches(spark):
+    """Pin the mechanism the streaming path relies on: with a byte cap of
+    B and rows of ~w bytes, a mapInPandas kernel receives batches of
+    ~B/w rows — NOT the 100k records ceiling — proving the JVM Arrow
+    writer chunks transfers by bytes. (Grouped-map applyInPandas routes
+    through the same byte-capped Arrow input writer.)"""
+    import pandas as pd
+
+    key = "spark.sql.execution.arrow.maxBytesPerBatch"
+    before = spark.conf.get(key)
+    try:
+        spark.conf.set(key, str(1 * MB))  # 1 MiB cap, ~100 KiB rows
+        df = spark.range(200).select(
+            F.col("id"), F.repeat(F.lit("x"), 100 * 1024).alias("payload")
+        )
+
+        def probe(batches):
+            for pdf in batches:
+                yield pd.DataFrame({"n": [len(pdf)]})
+
+        sizes = [r["n"] for r in df.coalesce(1).mapInPandas(probe, "n long").collect()]
+        # 1 MiB / ~100 KiB rows -> ~10 rows per batch; the records ceiling
+        # (100k) would have delivered all 200 rows in one batch
+        assert max(sizes) <= 32, sizes
+        assert sum(sizes) == 200
+    finally:
+        spark.conf.set(key, before)
