@@ -749,9 +749,15 @@ class ManifestParquetSink(Sink):
                 # delta files — cost proportional to the BATCH, independent
                 # of table size; the read path / compaction resolve them
                 out_dir = os.path.join(self.root, "data", f"s{snap:06d}-delta")
-                batch.withColumn("_ord", F.lit(snap).cast("long")).write.mode(
-                    "overwrite"
-                ).partitionBy("_bucket").parquet(out_dir)
+                # same write.distribution-mode=hash clustering as the CoW
+                # write below: the collapse output's partitions are salted
+                # hash slots, not sink buckets, so without it each task
+                # writes several bucket dirs and the delta set accretes
+                # ~2x the files the read resolve + compaction must open.
+                # The exchange is batch-sized — exactly the MoR premise.
+                batch.withColumn("_ord", F.lit(snap).cast("long")).repartition(
+                    self.n_buckets, F.col("_bucket")
+                ).write.mode("overwrite").partitionBy("_bucket").parquet(out_dir)
                 buckets = dict(m["buckets"])
                 delta_buckets = {
                     k: list(v) for k, v in m.get("delta_buckets", {}).items()
@@ -846,6 +852,15 @@ class ManifestParquetSink(Sink):
             # _bucket is a hive partition column in the written layout, so it
             # is NOT stored in the files; recompute it (deterministic of key)
             merged = merged.drop("_bucket").withColumn("_bucket", salted_shuffle_key(self.n_buckets))
+            # cluster by the write-partition key before the dynamic write
+            # (Iceberg write.distribution-mode=hash): without it, a scan
+            # task holding rows of many buckets — the retained branch packs
+            # all touched buckets' small files into 1-2 splits — writes one
+            # file PER bucket serially (measured: the epoch-2 write stage
+            # was one ~1.1 s straggler opening 32 parquet writers), and the
+            # table accretes >1 file per bucket per snapshot. One key-sized
+            # exchange buys one-writer-per-bucket and a flat file count.
+            merged = merged.repartition(self.n_buckets, F.col("_bucket"))
             merged.write.mode("overwrite").partitionBy("_bucket").parquet(out_dir)
 
             # collect the files actually written, keyed by bucket

@@ -526,10 +526,17 @@ def test_rewrite_data_files_compaction(spark, tmp_path):
                 updated_ts=dt.datetime(2024, 1, 1))
             for i in range(n0, n1)
         ]
-        # many write tasks -> several part files per bucket dir
         return spark.createDataFrame(rows, COLLAPSED_SCHEMA).repartition(8)
 
-    assert sink.merge(batch(0, 40), epoch_id=1)
+    # the merge write now clusters by _bucket (one writer per bucket), so
+    # multi-file buckets no longer arise from write-task layout; fragment
+    # the way real tables do — the per-file record/size cap splits a
+    # bucket-writer's output into several files
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "4")
+    try:
+        assert sink.merge(batch(0, 40), epoch_id=1)
+    finally:
+        spark.conf.unset("spark.sql.files.maxRecordsPerFile")
     m1 = sink.current_manifest()
     assert any(len(fl) > 1 for fl in m1["buckets"].values())  # fragmented
     before = sorted((r["path"], r["content"]) for r in sink.read().collect())
