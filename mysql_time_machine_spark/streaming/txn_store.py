@@ -296,9 +296,17 @@ class TxnPendingStore:
             # work on the released path. isin compiles the (small, capped)
             # id list into the plan as a pushed-down filter.
             if alive_ids:
-                rows.where(F.col("txn_id").isin(alive_ids)).write.mode(
-                    "overwrite"
-                ).parquet(snap)
+                parked = rows.where(F.col("txn_id").isin(alive_ids))
+                if len(alive_ids) <= 256:
+                    # the straddler set is boundary-proportional — a handful
+                    # of txns in steady state — but the write inherits the
+                    # batch scan's partitioning and emits one near-empty
+                    # file per scan task, paid again by next epoch's
+                    # pend_prev read. Cluster the (tiny) post-filter rows
+                    # into one file; the guard keeps a pathological
+                    # many-open-txn snapshot parallel.
+                    parked = parked.repartition(1)
+                parked.write.mode("overwrite").parquet(snap)
             else:
                 self.fs.rmtree(snap)  # crashed half-write
             self._commit_meta(epoch_id, hwm, ev_prev, ev_new)
