@@ -323,6 +323,13 @@ def exact_dedup_stream(
         (
             batch.withColumn("_bucket", _md5_bucket(F.col("text_md5"), n_buckets))
             .withColumn("_epoch", F.lit(int(epoch_id)).cast("long"))
+            # cluster by the write-partition key (write.distribution-mode=
+            # hash): otherwise every input task writes one file per bucket
+            # it holds and the store accretes tasks x buckets files/epoch,
+            # all re-opened by later resolves/compactions. Batch-sized
+            # exchange; a replayed epoch repartitions identically, so the
+            # dynamic overwrite stays byte-idempotent.
+            .repartition(F.col("_bucket"))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("_bucket", "_epoch")
@@ -1163,6 +1170,9 @@ def minhash_dedup_stream(
         the read side's candidate ``distinct`` / doc ``dropDuplicates``."""
         (
             new_rows.withColumn("_epoch", F.lit(int(epoch_id)).cast("long"))
+            # same clustering rationale as the exact store's upsert: one
+            # writer per bucket instead of tasks x buckets files/epoch
+            .repartition(F.col("_bucket"))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("_bucket", "_epoch")

@@ -57,6 +57,20 @@ from mysql_time_machine_spark.registry import SchemaRegistry
 from mysql_time_machine_spark.sinks.manifest import ManifestParquetSink
 
 
+#: columns any post-classification consumer of the micro-batch cache can
+#: read: the DDL collect (gtid_seq, log_file, log_pos, ddl), the changelog
+#: branch (position + day columns), and the collapse kernels (key, op,
+#: `after`, order columns). `before`, the gtid STRING, and the txn/server
+#: ids are consumed only upstream (classification / txn resolve) and are
+#: deliberately absent — see the persist() site.
+_EPOCH_CACHE_COLUMNS = frozenset(
+    [
+        "_class", "repo", "path", "op", "after", "ts", "schema_version",
+        "gtid_seq", "log_file", "log_pos", "seq_in_txn", "ddl",
+    ]
+)
+
+
 class ApplyJob:
     def __init__(
         self,
@@ -163,6 +177,14 @@ class ApplyJob:
                 # single-consumer epoch (plain DDL-free stream) skips the
                 # cache too: building it would serve exactly one read,
                 # strictly worse than the collapse's own pruned scan.
+                # Prune the cache INPUT to the union of the remaining
+                # consumers' columns first: after classification nothing
+                # reads `before` (half the map payload), the gtid string,
+                # or the txn/server ids — caching them pays scan +
+                # serialization + storage for columns no consumer touches.
+                batch = batch.select(
+                    *[c for c in batch.columns if c in _EPOCH_CACHE_COLUMNS]
+                )
                 batch.persist()
                 persisted = True
 
