@@ -70,6 +70,12 @@ class ManifestParquetSink(Sink):
     #: per-day changelog volume exceeds ~this many good-sized files
     CHANGELOG_FILES_PER_DAY = 4
 
+    #: collapsed-batch row ceiling for hinting the matched-old-image side
+    #: of the CoW merge join as a broadcast (rows carry the old image map,
+    #: so ~500 B/row -> ~100 MB at the ceiling); bigger epochs keep the
+    #: shuffle join
+    BROADCAST_MERGE_MAX_ROWS = 200_000
+
     def __init__(
         self,
         spark: SparkSession,
@@ -815,6 +821,21 @@ class ManifestParquetSink(Sink):
                     F.map_filter(F.create_map(*kv), lambda k, v: v.isNotNull()).alias("_old_image"),
                     F.col("gtid_seq").alias("_old_gtid"),
                 )
+                # old_img holds only OLD rows whose key appears in the batch,
+                # so its cardinality is bounded by the batch's keys — the
+                # same boundedness that justifies the `keys` broadcast above.
+                # Without the hint the static planner (sizes unknown inside a
+                # micro-batch) planned this as a SortMergeJoin: two exchanges
+                # + two sorts of batch-sized sides (see
+                # plans/r07/cdc_stream_merge_write_before.txt). Rows are
+                # wider than `keys` (they carry the old image map), so gate
+                # on the collapsed-batch row count the stats pass already
+                # measured; an outsized epoch keeps the shuffle join.
+                n_batch_rows = sum(
+                    r["n_I"] + r["n_U"] + r["n_D"] for r in stats_rows
+                )
+                if n_batch_rows <= self.BROADCAST_MERGE_MAX_ROWS:
+                    old_img = F.broadcast(old_img)
                 merged_img = (
                     upserts.join(old_img, ["repo", "path"], "left")
                     .where(F.col("_old_gtid").isNull() | (F.col("_old_gtid") <= F.col("gtid_seq")))
