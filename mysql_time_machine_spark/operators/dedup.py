@@ -519,11 +519,17 @@ def _minhash_from_shm(shm, n_hashes: int) -> F.Column:
     ``minhash_signature`` all build from here, so they cannot drift
     (a one-bit divergence would silently desynchronize the streaming
     index from the batch oracle)."""
-    return F.array(
-        *[
-            F.array_min(F.transform(shm, lambda m: F.md5(F.concat(F.lit(f"{k}:"), m))))
-            for k in range(n_hashes)
-        ]
+    # one transform(sequence(0, K-1)) tree, not K separate array-HOF
+    # columns: same md5 count and bit-identical values (probed: concat(
+    # cast(k), ':') == lit(f"{k}:")), but the expression tree the
+    # analyzer/optimizer/AQE re-walk per stage shrinks ~K-fold — the
+    # driver-side planning share of the LSH legs was the measured
+    # remainder after round 7's compute work
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda k: F.array_min(
+            F.transform(shm, lambda m: F.md5(F.concat(k.cast("string"), F.lit(":"), m)))
+        ),
     )
 
 
@@ -533,16 +539,19 @@ def _band_structs(mh, n_hashes: int, bands: int) -> F.Column:
     the batch pair generator and the streaming index (same drift
     argument as ``_minhash_from_shm``)."""
     rows_per_band = n_hashes // bands
-    return F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.md5(
-                    F.array_join(F.slice(mh, bi * rows_per_band + 1, rows_per_band), "|")
-                ).alias("bucket"),
-            )
-            for bi in range(bands)
-        ]
+    # same single-tree shape as _minhash_from_shm (bit-identical structs,
+    # including field names — probed)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda bi: F.struct(
+            bi.cast("int").alias("band"),
+            F.md5(
+                F.array_join(
+                    F.slice(mh, bi * rows_per_band + F.lit(1), F.lit(rows_per_band)),
+                    "|",
+                )
+            ).alias("bucket"),
+        ),
     )
 
 
